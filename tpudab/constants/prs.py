@@ -1,0 +1,135 @@
+"""Phase Reference Symbol (TFPR) generation, ETSI EN 300 401 sec 14.3.2.
+
+Reference parity: vendor/DAB-Radio `get_DAB_PRS_reference(mode, out)` (proven
+API at /root/reference/src/radio_block.cpp:5,18-19). Independent construction
+from the standard: carrier k gets z_k = exp(j*pi/2 * phi_k) with
+phi_k = h[i, k - k'] + n, where (k', i, n) come from the per-mode block table
+and h is the 4x32 base table.
+
+The frequency-domain reference returned here is fftshift-ordered helpers plus
+an fft-bin-ordered vector of length nb_fft (DC at bin 0) ready for ifft.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from tpudab.constants.ofdm_params import get_ofdm_params
+
+# EN 300 401 Table 43: h_{i,j} for i in 0..3, j in 0..31.
+# Each row is a 16-entry pattern repeated twice.
+_H_BASE = np.array([
+    [0, 2, 0, 0, 0, 0, 1, 1, 2, 0, 0, 0, 2, 2, 1, 1],
+    [0, 3, 2, 3, 0, 1, 3, 0, 2, 1, 2, 3, 2, 3, 3, 0],
+    [0, 0, 0, 2, 0, 2, 1, 3, 2, 2, 0, 2, 2, 0, 1, 3],
+    [0, 1, 2, 1, 0, 3, 3, 2, 2, 3, 2, 1, 2, 1, 3, 2],
+], dtype=np.int64)
+H_TABLE = np.concatenate([_H_BASE, _H_BASE], axis=1)  # (4, 32)
+
+# EN 300 401 Table 44 (transmission mode I): blocks of 32 carriers.
+# Rows: (k_min, k_max, k', i, n); negative-k blocks cycle i = 0,1,2,3,
+# positive-k blocks cycle i = 0,3,2,1.
+_MODE1_NEG_N = [1, 2, 0, 1, 3, 2, 2, 3, 2, 1, 2, 3, 1, 2, 3, 3, 2, 2, 2, 1, 1, 3, 1, 2]
+_MODE1_POS_N = [3, 1, 1, 1, 2, 2, 1, 0, 2, 2, 3, 3, 0, 2, 1, 3, 3, 3, 3, 0, 3, 0, 1, 1]
+_NEG_I_CYCLE = [0, 1, 2, 3]
+_POS_I_CYCLE = [0, 3, 2, 1]
+
+
+def _mode1_blocks():
+    blocks = []
+    for b in range(24):
+        kp = -768 + 32 * b
+        blocks.append((kp, kp + 31, kp, _NEG_I_CYCLE[b % 4], _MODE1_NEG_N[b]))
+    for b in range(24):
+        kp = 1 + 32 * b
+        blocks.append((kp, kp + 31, kp, _POS_I_CYCLE[b % 4], _MODE1_POS_N[b]))
+    return blocks
+
+
+# Mode II (Table 45): 12 blocks of 32 (K=384, k in -192..192).
+_MODE2_NEG_N = [2, 3, 2, 1, 2, 3]
+_MODE2_POS_N = [0, 1, 2, 2, 2, 3]
+# Mode III (Table 46): 6 blocks of 32 (K=192, k in -96..96).
+_MODE3_NEG_N = [1, 2, 0]
+_MODE3_POS_N = [3, 2, 2]
+# Mode IV (Table 47): 24 blocks of 32 (K=768, k in -384..384).
+_MODE4_NEG_N = [0, 1, 2, 1, 2, 3, 3, 2, 1, 2, 2, 3]
+_MODE4_POS_N = [0, 2, 2, 2, 2, 3, 1, 1, 3, 1, 2, 1]
+
+
+def _generic_blocks(k_half: int, neg_n, pos_n):
+    blocks = []
+    nb = k_half // 32
+    for b in range(nb):
+        kp = -k_half + 32 * b
+        blocks.append((kp, kp + 31, kp, _NEG_I_CYCLE[b % 4], neg_n[b]))
+    for b in range(nb):
+        kp = 1 + 32 * b
+        blocks.append((kp, kp + 31, kp, _POS_I_CYCLE[b % 4], pos_n[b]))
+    return blocks
+
+
+def _blocks_for_mode(mode: int):
+    if mode == 1:
+        return _mode1_blocks()
+    if mode == 2:
+        return _generic_blocks(192, _MODE2_NEG_N, _MODE2_POS_N)
+    if mode == 3:
+        return _generic_blocks(96, _MODE3_NEG_N, _MODE3_POS_N)
+    if mode == 4:
+        return _generic_blocks(384, _MODE4_NEG_N, _MODE4_POS_N)
+    raise ValueError(f"unknown mode {mode}")
+
+
+@functools.lru_cache(maxsize=None)
+def get_prs_phases(mode: int) -> np.ndarray:
+    """phi_k (units of pi/2) for active carriers k = -K/2..K/2 excluding 0.
+
+    Returns int array of shape (K,) ordered by increasing carrier index
+    (k = -K/2 .. -1, 1 .. K/2).
+    """
+    params = get_ofdm_params(mode)
+    k_half = params.nb_data_carriers // 2
+    phases = {}
+    for (kmin, kmax, kprime, i, n) in _blocks_for_mode(mode):
+        for k in range(kmin, kmax + 1):
+            if k == 0 or abs(k) > k_half:
+                continue
+            phases[k] = int(H_TABLE[i, k - kprime] + n) % 4
+    ks = [k for k in range(-k_half, k_half + 1) if k != 0]
+    assert len(ks) == params.nb_data_carriers
+    missing = [k for k in ks if k not in phases]
+    assert not missing, f"PRS table does not cover carriers: {missing[:8]}..."
+    return np.array([phases[k] for k in ks], dtype=np.int64)
+
+
+@functools.lru_cache(maxsize=None)
+def get_prs_carriers(mode: int) -> np.ndarray:
+    """Complex PRS values on active carriers, ordered by carrier index (K,)."""
+    ph = get_prs_phases(mode)
+    return np.exp(1j * (np.pi / 2) * ph).astype(np.complex64)
+
+
+@functools.lru_cache(maxsize=None)
+def get_prs_spectrum(mode: int) -> np.ndarray:
+    """PRS in fft-bin order (length nb_fft, DC at bin 0, inactive bins = 0)."""
+    params = get_ofdm_params(mode)
+    n = params.nb_fft
+    k_half = params.nb_data_carriers // 2
+    spec = np.zeros(n, dtype=np.complex64)
+    vals = get_prs_carriers(mode)
+    ks = np.array([k for k in range(-k_half, k_half + 1) if k != 0])
+    spec[ks % n] = vals
+    return spec
+
+
+@functools.lru_cache(maxsize=None)
+def get_prs_time(mode: int) -> np.ndarray:
+    """Time-domain PRS (nb_fft samples, no cyclic prefix), unit average power."""
+    spec = get_prs_spectrum(mode)
+    t = np.fft.ifft(spec).astype(np.complex64)
+    # normalize to unit average power for matched-filter use
+    t /= np.sqrt(np.mean(np.abs(t) ** 2, dtype=np.float64)).astype(np.float32)
+    return t
