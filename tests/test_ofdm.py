@@ -1,0 +1,83 @@
+"""OFDM front-end: modulator/demodulator round trips + acquisition under
+CFO / timing offset / AWGN (SURVEY.md sec 4 golden-path strategy)."""
+
+import numpy as np
+import pytest
+
+from tpudab.constants.ofdm_params import get_ofdm_params
+from tpudab.synth.modulator import modulate_frame_bits, Impairments, apply_impairments
+from tpudab.ofdm.demod import demod_frames
+from tpudab.ofdm.sync import acquire, fine_freq_autocorr, prs_search_full
+
+
+def _frame_and_bits(seed=0, mode=1):
+    rng = np.random.default_rng(seed)
+    p = get_ofdm_params(mode)
+    bits = rng.integers(0, 2, p.nb_frame_bits).astype(np.uint8)
+    return modulate_frame_bits(bits, mode), bits
+
+
+@pytest.mark.parametrize("mode", [1, 2, 4])
+def test_clean_roundtrip(mode):
+    frame, bits = _frame_and_bits(mode=mode)
+    soft, _ = demod_frames(frame[None], 0.0, mode=mode)
+    hard = (np.asarray(soft)[0] < 0).astype(np.uint8)
+    assert (hard != bits).mean() == 0.0
+
+
+def test_batched_demod_multiframe():
+    frames, bits = [], []
+    for s in range(3):
+        f, b = _frame_and_bits(seed=s)
+        frames.append(f)
+        bits.append(b)
+    soft, stats = demod_frames(np.stack(frames), 0.0)
+    hard = (np.asarray(soft) < 0).astype(np.uint8)
+    assert (hard != np.stack(bits)).mean() == 0.0
+    assert np.asarray(stats["mean_power"]).shape == (3,)
+
+
+@pytest.mark.parametrize("imp", [
+    Impairments(freq_offset_hz=3400.0, delay_samples=1000, snr_db=20, phase=0.7, seed=1),
+    Impairments(freq_offset_hz=-47350.0, delay_samples=7777, snr_db=10, phase=2.1, seed=2),
+    Impairments(freq_offset_hz=412.0, delay_samples=3, snr_db=8, phase=0.0, seed=3),
+])
+def test_acquire_and_demod_under_impairments(imp):
+    frame, bits = _frame_and_bits()
+    iq = apply_impairments(np.concatenate([frame] * 3), imp)
+    res = acquire(iq)
+    assert res["frame_start"] == imp.delay_samples
+    assert abs(res["net_freq_hz"] - imp.freq_offset_hz) < 100.0
+    soft, _ = demod_frames(iq[res["frame_start"]:][None, :196608], res["net_freq_hz"])
+    ber = ((np.asarray(soft)[0] < 0).astype(np.uint8) != bits).mean()
+    assert ber < 0.05
+
+
+def test_acquire_midstream_start_large_cfo():
+    rng = np.random.default_rng(11)
+    frames = [_frame_and_bits(seed=100 + i)[0] for i in range(4)]
+    full = apply_impairments(np.concatenate(frames),
+                             Impairments(freq_offset_hz=88_000.0, snr_db=15, seed=4))
+    drop = 123_456
+    iq = full[drop:]
+    res = acquire(iq)
+    assert res["frame_start"] == (196_608 - drop % 196_608) % 196_608
+    assert abs(res["net_freq_hz"] - 88_000.0) < 100.0
+
+
+def test_fine_freq_autocorr_unaligned():
+    frame, _ = _frame_and_bits()
+    iq = apply_impairments(np.concatenate([frame] * 2),
+                           Impairments(freq_offset_hz=230.0, snr_db=25, seed=5))
+    est = float(fine_freq_autocorr(iq))
+    assert abs(est - 230.0) < 30.0
+
+
+def test_prs_search_quality_drops_without_signal():
+    rng = np.random.default_rng(6)
+    noise = (rng.standard_normal(2 * 196608) + 1j * rng.standard_normal(2 * 196608)) \
+        .astype(np.complex64)
+    _, q_noise = prs_search_full(noise)
+    frame, _ = _frame_and_bits()
+    _, q_sig = prs_search_full(np.concatenate([frame] * 2))
+    assert float(q_sig) > 3 * float(q_noise)

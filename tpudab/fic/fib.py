@@ -1,0 +1,55 @@
+"""FIC frame decode: punctured soft bits -> CRC-checked FIB bytes.
+
+Pipeline per transmission frame (EN 300 401 sec 11.2):
+  soft bits (nb_fic_bits,) -> groups (G, 2304|3072) -> depuncture ->
+  batched Viterbi (device) -> energy-dispersal descramble -> FIBs + CRC16.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpudab.constants.dab_params import get_dab_params, FIB_BYTES
+from tpudab.constants.puncture import FIC_PROFILE, FIC_PROFILE_MODE3
+from tpudab.fec.depuncture import depuncture
+from tpudab.fec.prbs import descramble_bits
+from tpudab.fec.crc import check_fib_crc
+from tpudab.ops.viterbi import viterbi_decode
+from tpudab.utils.bits import pack_bits
+
+
+def fic_profile(mode: int):
+    return FIC_PROFILE_MODE3 if mode == 3 else FIC_PROFILE
+
+
+def fic_soft_to_fib_bytes(fic_soft, mode: int = 1) -> np.ndarray:
+    """(F, nb_fic_bits) or (nb_fic_bits,) soft bits -> (F*G, group_bytes) uint8.
+
+    Device work (depuncture + Viterbi) is batched over all groups of all
+    frames in one call; descramble/pack are host NumPy.
+    """
+    dab = get_dab_params(mode)
+    profile = fic_profile(mode)
+    soft = jnp.asarray(fic_soft)
+    if soft.ndim == 1:
+        soft = soft[None]
+    f = soft.shape[0]
+    g = dab.nb_fib_groups
+    n_bits = profile.data_bits
+    groups = soft.reshape(f * g, dab.nb_fic_bits_per_group)
+    mother = depuncture(groups, profile).reshape(f * g, n_bits + 6, 4)
+    bits = np.asarray(viterbi_decode(mother, n_bits))          # (F*G, n_bits)
+    descrambled = np.stack([descramble_bits(b) for b in bits])
+    return pack_bits(descrambled)  # (F*G, n_bits/8)
+
+
+def decode_fic_frame(fic_soft, mode: int = 1):
+    """Decode one or more frames of FIC soft bits.
+
+    Returns (fibs, crc_ok): fibs (n_total_fibs, 32) uint8, crc_ok bool mask.
+    """
+    dab = get_dab_params(mode)
+    group_bytes = fic_soft_to_fib_bytes(fic_soft, mode)
+    fibs = group_bytes.reshape(-1, FIB_BYTES)
+    return fibs, check_fib_crc(fibs)

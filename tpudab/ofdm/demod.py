@@ -1,0 +1,85 @@
+"""Batched OFDM frame demodulation: aligned IQ frames -> soft bits.
+
+Replaces the reference's per-symbol worker threads (OFDM_Demod symbol fan-out,
+SURVEY.md sec 2.2 'pipeline threading') with a single batched program: all 76
+symbols of all buffered frames are FFT'd at once; the PLL rotate, differential
+demap, frequency deinterleave and soft quantization are elementwise/gather ops
+XLA fuses around the FFT. Runs under jit on TPU; float32 complex throughout.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpudab.constants.ofdm_params import get_ofdm_params, SAMPLING_RATE
+from tpudab.constants.interleaver import get_carrier_map_positions
+
+
+@functools.lru_cache(maxsize=None)
+def active_bin_indices(mode: int) -> np.ndarray:
+    """fft-bin indices of active carriers k=-K/2..K/2\\{0}, ascending k."""
+    p = get_ofdm_params(mode)
+    k_half = p.nb_data_carriers // 2
+    ks = np.array([k for k in range(-k_half, k_half + 1) if k != 0])
+    return (ks % p.nb_fft).astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "window_offset"))
+def demod_frames(frames, freq_offset_hz, mode: int = 1, window_offset: int = 12):
+    """Demodulate aligned transmission frames.
+
+    Args:
+      frames: (F, nb_frame_length) complex64, each starting at the first
+        sample of the null symbol.
+      freq_offset_hz: scalar or (F,) net CFO to remove (PLL/NCO stage;
+        reference analog: apply_pll, SURVEY.md sec 2.2).
+      mode: DAB transmission mode.
+      window_offset: samples by which the FFT window is advanced into the
+        cyclic prefix (timing-error margin; the common phase ramp it induces
+        cancels in the differential demap).
+
+    Returns:
+      soft: (F, nb_frame_bits) float32 soft bits (+ => 0, - => 1), unit mean
+        magnitude.
+      stats: dict of per-frame diagnostics (mean power).
+    """
+    p = get_ofdm_params(mode)
+    f = frames.shape[0]
+    n_sym, n_fft, n_cp = p.nb_symbols, p.nb_fft, p.nb_cyclic_prefix
+
+    # PLL: rotate out the net frequency offset
+    freq = jnp.broadcast_to(jnp.asarray(freq_offset_hz, jnp.float32), (f,))
+    t_idx = jnp.arange(p.nb_frame_length, dtype=jnp.float32) / SAMPLING_RATE
+    rot = jnp.exp(-2j * jnp.pi * freq[:, None] * t_idx[None, :]).astype(jnp.complex64)
+    x = frames * rot
+
+    # carve symbols, FFT window advanced window_offset into the CP
+    sym_region = x[:, p.nb_null_period:]
+    sym = sym_region.reshape(f, n_sym, n_fft + n_cp)
+    start = n_cp - window_offset
+    windows = sym[:, :, start:start + n_fft]
+    spec = jnp.fft.fft(windows, axis=-1)
+
+    bins = jnp.asarray(active_bin_indices(mode))
+    carriers = jnp.take(spec, bins, axis=-1)  # (F, n_sym, K)
+
+    # differential demap
+    diff = carriers[:, 1:, :] * jnp.conj(carriers[:, :-1, :])  # (F, n_sym-1, K)
+
+    # frequency deinterleave: logical j lives at carrier position pos[j]
+    pos = jnp.asarray(get_carrier_map_positions(mode).astype(np.int32))
+    logical = jnp.take(diff, pos, axis=-1)
+
+    soft = jnp.concatenate([jnp.real(logical), jnp.imag(logical)], axis=-1)
+    soft = soft.reshape(f, p.nb_frame_bits)
+    norm = jnp.mean(jnp.abs(soft), axis=-1, keepdims=True)
+    soft = soft / jnp.maximum(norm, 1e-20)
+
+    stats = {
+        "mean_power": jnp.mean(jnp.abs(frames) ** 2, axis=-1),
+    }
+    return soft.astype(jnp.float32), stats
