@@ -1,0 +1,141 @@
+"""MSC subchannel decoding: CIF slices -> logical-frame bytes.
+
+Reference parity: vendor/DAB-Radio MSC CIF extractor + time deinterleaver +
+subchannel decoder (SURVEY.md sec 2.3). TPU-native design (SURVEY.md sec 7):
+the reference's per-subchannel worker threads become batch dims — all CIFs in
+a block are sliced/deinterleaved/depunctured at once and the Viterbi runs
+batched across (logical frames x subchannels).
+
+The 16-CIF deinterleaver history is an explicit carry (device array per
+subchannel), making the streaming pipeline a pure step function.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpudab.constants.dab_params import CU_BITS
+from tpudab.constants.puncture import (
+    PunctureProfile, eep_profile, get_uep_profile, UEPProfile,
+)
+from tpudab.database.entities import Subchannel
+from tpudab.fec.depuncture import depuncture
+from tpudab.fec.prbs import descramble_bits
+from tpudab.msc.interleave import interleave_delays, TIME_INTERLEAVE_DEPTH
+from tpudab.ops.viterbi import viterbi_decode
+from tpudab.utils.bits import pack_bits
+
+
+@dataclasses.dataclass(frozen=True)
+class SubchannelConfig:
+    """Static decode geometry for one subchannel (from the FIC database)."""
+
+    subch_id: int
+    start_cu: int
+    size_cu: int
+    profile: PunctureProfile
+    padding_bits: int = 0  # UEP padding appended after the tail
+
+    @property
+    def slice_bits(self) -> int:
+        return self.size_cu * CU_BITS
+
+    @property
+    def data_bits(self) -> int:
+        """Decoded bits per 24 ms logical frame."""
+        return self.profile.data_bits
+
+    @classmethod
+    def from_db(cls, sub: Subchannel) -> "SubchannelConfig":
+        if sub.is_uep:
+            from tpudab.constants.puncture import _UEP_TABLE
+            keys = sorted(_UEP_TABLE.keys())
+            if not 0 <= sub.uep_index < len(keys):
+                raise ValueError(f"UEP index {sub.uep_index} unknown")
+            uep: UEPProfile = _UEP_TABLE[keys[sub.uep_index]][0]
+            return cls(sub.subch_id, sub.start_cu, uep.size_cu,
+                       uep.to_profile(), uep.padding_bits)
+        profile = eep_profile(sub.size_cu, sub.eep_level, sub.eep_option)
+        return cls(sub.subch_id, sub.start_cu, sub.size_cu, profile, 0)
+
+
+class SubchannelDecoder:
+    """Streaming decoder for one subchannel across consecutive CIFs.
+
+    process(cif_soft_slices) consumes (C, slice_bits) soft CIF slices and
+    returns (C, data_bytes) decoded logical frames plus a validity mask
+    (False for the first 15 CIFs of history warm-up).
+    """
+
+    def __init__(self, config: SubchannelConfig):
+        self.config = config
+        n = config.slice_bits
+        self._history = jnp.zeros((TIME_INTERLEAVE_DEPTH - 1, n), dtype=jnp.float32)
+        self._n_seen = 0
+        d = interleave_delays(n)
+        # gather row offsets: logical frame m needs concat-history row m + d(i)
+        self._delay = jnp.asarray(d[None, :], dtype=jnp.int32)  # (1, n)
+
+    def process(self, cif_soft: np.ndarray):
+        cfg = self.config
+        c, n = cif_soft.shape
+        assert n == cfg.slice_bits
+        buf = jnp.concatenate([self._history, jnp.asarray(cif_soft, jnp.float32)],
+                              axis=0)  # (15 + C, n)
+        rows = jnp.arange(c, dtype=jnp.int32)[:, None] + self._delay  # (C, n)
+        cols = jnp.arange(n, dtype=jnp.int32)[None, :]
+        logical = buf[rows, cols]  # (C, n) soft codewords u_{m}
+        self._history = buf[-(TIME_INTERLEAVE_DEPTH - 1):]
+
+        body = logical[:, : n - cfg.padding_bits] if cfg.padding_bits else logical
+        mother = depuncture(body, cfg.profile)
+        mother = mother.reshape(c, cfg.data_bits + 6, 4)
+        bits = np.asarray(viterbi_decode(mother, cfg.data_bits))
+        out = pack_bits(np.stack([descramble_bits(b) for b in bits]))
+
+        # logical frame m = n_seen - 15 + row: with the new batch of C CIFs,
+        # exactly frames n_seen-15 .. n_seen+C-16 became complete (frame m
+        # needs CIFs m..m+15). Rows with m < 0 are warm-up (zero history).
+        idx = np.arange(c) + self._n_seen - (TIME_INTERLEAVE_DEPTH - 1)
+        valid = idx >= 0
+        self._n_seen += c
+        return out, valid, idx
+
+    def reset(self):
+        self._history = jnp.zeros_like(self._history)
+        self._n_seen = 0
+
+
+class MSCDecoder:
+    """Decodes all configured subchannels from transmission-frame soft bits.
+
+    Orchestrates per-subchannel static slices; device work (deinterleave
+    gather, depuncture scatter, batched Viterbi) is jitted per subchannel
+    shape. Reference analog: BasicRadio's per-subchannel thread pool
+    (/root/reference/src/radio_block.cpp:60) — here a batch dim.
+    """
+
+    def __init__(self, configs: List[SubchannelConfig], nb_cifs: int, cif_bits: int):
+        self.configs = {c.subch_id: c for c in configs}
+        self.decoders = {c.subch_id: SubchannelDecoder(c) for c in configs}
+        self.nb_cifs = nb_cifs
+        self.cif_bits = cif_bits
+
+    def process_frames(self, msc_soft: np.ndarray) -> Dict[int, tuple]:
+        """msc_soft: (F, nb_cifs * cif_bits) -> {subch_id: (bytes, valid, idx)}."""
+        f = msc_soft.shape[0]
+        cifs = np.asarray(msc_soft).reshape(f * self.nb_cifs, self.cif_bits)
+        out = {}
+        for subch_id, cfg in self.configs.items():
+            lo = cfg.start_cu * CU_BITS
+            sl = cifs[:, lo : lo + cfg.slice_bits]
+            out[subch_id] = self.decoders[subch_id].process(sl)
+        return out
+
+    def reset(self):
+        for d in self.decoders.values():
+            d.reset()
