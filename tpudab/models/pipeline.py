@@ -1,0 +1,100 @@
+"""Offline decode pipeline: IQ buffer/file -> acquisition -> batched OFDM
+demod -> Receiver (FIC/MSC/audio).
+
+Reference parity: the Radio_Block orchestration
+(/root/reference/src/radio_block.cpp) — but the reference's thread+ring-buffer
+pipeline becomes: acquire once over the buffered block, demodulate frames in
+large batches on device, feed the host Receiver. Resynchronization (reference
+sec 5.3 failure analog) re-runs acquisition when FIB CRC failures spike.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import numpy as np
+
+from tpudab.constants.ofdm_params import get_ofdm_params
+from tpudab.ofdm.sync import acquire, SyncConfig
+from tpudab.ofdm.demod import demod_frames
+from tpudab.models.receiver import Receiver, AudioChannelOutput
+
+
+@dataclasses.dataclass
+class PipelineStats:
+    total_frames: int = 0
+    total_frames_desync: int = 0   # reference: GetTotalFramesDesync
+    reacquisitions: int = 0
+    net_freq_hz: float = 0.0
+    frame_start: int = 0
+
+
+class OfflinePipeline:
+    """Decode a (long) IQ capture in frame batches."""
+
+    def __init__(self, mode: int = 1, batch_frames: int = 8,
+                 sync_cfg: SyncConfig = SyncConfig(),
+                 receiver: Optional[Receiver] = None):
+        self.mode = mode
+        self.params = get_ofdm_params(mode)
+        self.batch_frames = batch_frames
+        self.sync_cfg = sync_cfg
+        self.receiver = receiver or Receiver(mode)
+        self.stats = PipelineStats()
+
+    def run(self, iq: np.ndarray, collect=None):
+        """Decode the whole buffer; returns accumulated channel outputs.
+
+        collect: optional callback(outputs: {subch_id: AudioChannelOutput})
+        called per batch.
+        """
+        p = self.params
+        n = iq.shape[0]
+        if n < 2 * p.nb_frame_length:
+            raise ValueError("need at least 2 frames of IQ for acquisition")
+
+        res = acquire(iq[: 4 * p.nb_frame_length], self.mode, self.sync_cfg)
+        self.stats.net_freq_hz = res["net_freq_hz"]
+        self.stats.frame_start = res["frame_start"]
+        start = res["frame_start"]
+
+        accumulated: Dict[int, list] = {}
+        pos = start
+        fib_err_prev = 0
+        while pos + p.nb_frame_length <= n:
+            nf = min(self.batch_frames, (n - pos) // p.nb_frame_length)
+            if nf == 0:
+                break
+            frames = iq[pos : pos + nf * p.nb_frame_length].reshape(nf, p.nb_frame_length)
+            soft, _ = demod_frames(frames, self.stats.net_freq_hz, self.mode,
+                                   self.sync_cfg.window_offset)
+            soft = np.asarray(soft)
+            outputs = self.receiver.process_frame_bits(soft)
+            self.stats.total_frames += nf
+            pos += nf * p.nb_frame_length
+
+            # resync check: all FIBs of the batch failing CRC == desync
+            errs = self.receiver.stats["fib_crc_errors"] - fib_err_prev
+            fib_err_prev = self.receiver.stats["fib_crc_errors"]
+            batch_fibs = nf * self.receiver.dab.nb_fibs
+            if errs == batch_fibs and pos + 2 * p.nb_frame_length <= n:
+                self.stats.total_frames_desync += nf
+                self.stats.reacquisitions += 1
+                res = acquire(iq[pos : pos + 4 * p.nb_frame_length], self.mode,
+                              self.sync_cfg)
+                pos += res["frame_start"]
+                self.stats.net_freq_hz = res["net_freq_hz"]
+
+            if collect is not None:
+                collect(outputs)
+            for sid, out in outputs.items():
+                accumulated.setdefault(sid, []).append(out)
+        return accumulated
+
+
+def decode_iq(iq: np.ndarray, mode: int = 1, **kw):
+    """One-call offline decode; returns (receiver, accumulated outputs)."""
+    pipe = OfflinePipeline(mode=mode, **kw)
+    acc = pipe.run(iq)
+    return pipe.receiver, acc, pipe.stats

@@ -1,0 +1,133 @@
+"""Receiver: frame soft bits -> FIC database + per-subchannel audio/data.
+
+Reference parity: `BasicRadio` (SURVEY.md sec 2.4) — Process(frame bits)
+runs FIC decode and spawns channel decoders as the database discovers
+subchannels; On_Audio_Channel fires when a new audio subchannel goes live.
+The reference's per-subchannel thread pool becomes batched device calls
+(MSCDecoder); events are plain callbacks on the host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from tpudab.constants.dab_params import get_dab_params, CIF_BITS
+from tpudab.database.entities import TransportMode, AudioServiceType
+from tpudab.database.updater import DatabaseUpdater
+from tpudab.fic.fib import decode_fic_frame
+from tpudab.fic.fig_parser import parse_fib
+from tpudab.msc.subchannel import SubchannelConfig, SubchannelDecoder
+from tpudab.audio.superframe import DABPlusChannel, SuperFrameResult
+from tpudab.audio.mp2 import DABChannel
+
+
+@dataclasses.dataclass
+class AudioChannelOutput:
+    """Per-frame-batch output for one audio subchannel."""
+
+    subch_id: int
+    is_dab_plus: bool
+    superframes: List[SuperFrameResult] = dataclasses.field(default_factory=list)
+    mp2_frames: List[bytes] = dataclasses.field(default_factory=list)
+    raw_frames: Optional[np.ndarray] = None  # decoded logical frames (bytes)
+
+
+class Receiver:
+    """Consumes transmission-frame soft bits; maintains DB + channel decoders.
+
+    process_frame_bits() accepts a batch (F, nb_frame_bits) of soft bits and
+    returns {subch_id: AudioChannelOutput} for running channels.
+    """
+
+    def __init__(self, mode: int = 1,
+                 on_audio_channel: Optional[Callable] = None,
+                 decode_audio: bool = True):
+        self.mode = mode
+        self.dab = get_dab_params(mode)
+        self.updater = DatabaseUpdater()
+        self.on_audio_channel = on_audio_channel
+        self.decode_audio = decode_audio
+        self.subch_decoders: Dict[int, SubchannelDecoder] = {}
+        self.channels: Dict[int, object] = {}       # DABPlusChannel | DABChannel
+        self.channel_is_dabplus: Dict[int, bool] = {}
+        self.stats = {"frames": 0, "fib_crc_errors": 0, "fibs": 0}
+
+    @property
+    def db(self):
+        return self.updater.db
+
+    # ---------------- channel management ----------------
+
+    def _refresh_channels(self) -> None:
+        """Spawn decoders for newly-complete audio subchannels in the DB."""
+        db = self.db
+        for comp in db.service_components.values():
+            if comp.subch_id is None or comp.subch_id in self.subch_decoders:
+                continue
+            sub = db.subchannels.get(comp.subch_id)
+            if sub is None or (sub.size_cu == 0 and not sub.is_uep):
+                continue
+            try:
+                cfg = SubchannelConfig.from_db(sub)
+            except (ValueError, KeyError, AssertionError):
+                continue
+            self.subch_decoders[comp.subch_id] = SubchannelDecoder(cfg)
+            bitrate = sub.bitrate_kbps
+            if comp.transport_mode == TransportMode.STREAM_AUDIO and bitrate:
+                is_plus = comp.audio_type == AudioServiceType.DAB_PLUS
+                ch = DABPlusChannel(bitrate) if is_plus else DABChannel(bitrate)
+                self.channels[comp.subch_id] = ch
+                self.channel_is_dabplus[comp.subch_id] = is_plus
+                if self.on_audio_channel is not None:
+                    self.on_audio_channel(comp.subch_id, ch)
+
+    # ---------------- main entry ----------------
+
+    def process_frame_bits(self, soft: np.ndarray) -> Dict[int, AudioChannelOutput]:
+        soft = np.asarray(soft)
+        if soft.ndim == 1:
+            soft = soft[None]
+        f = soft.shape[0]
+        self.stats["frames"] += f
+
+        # FIC: batched across all frames
+        fibs, ok = decode_fic_frame(soft[:, : self.dab.nb_fic_bits], self.mode)
+        self.stats["fibs"] += fibs.shape[0]
+        self.stats["fib_crc_errors"] += int((~ok).sum())
+        for fib, good in zip(fibs, ok):
+            if good:
+                self.updater.process_events(parse_fib(fib))
+        self._refresh_channels()
+
+        # MSC: all CIFs of the batch through each running subchannel decoder
+        outputs: Dict[int, AudioChannelOutput] = {}
+        if not self.subch_decoders:
+            return outputs
+        cifs = soft[:, self.dab.nb_fic_bits:].reshape(
+            f * self.dab.nb_cifs, CIF_BITS)
+        for subch_id, dec in self.subch_decoders.items():
+            lo = dec.config.start_cu * 64
+            sl = cifs[:, lo : lo + dec.config.slice_bits]
+            frames_bytes, valid, idx = dec.process(sl)
+            complete = frames_bytes[valid]
+            is_plus = self.channel_is_dabplus.get(subch_id, True)
+            out = AudioChannelOutput(subch_id=subch_id, is_dab_plus=is_plus,
+                                     raw_frames=complete)
+            ch = self.channels.get(subch_id)
+            if ch is not None and self.decode_audio and complete.shape[0]:
+                if is_plus:
+                    out.superframes = ch.process_frames(complete)
+                else:
+                    out.mp2_frames = ch.process_frames(complete)
+            outputs[subch_id] = out
+        return outputs
+
+    # ---------------- control (reference parity) ----------------
+
+    def reset(self) -> None:
+        """Full reset (reference: reset_radio on retune,
+        /root/reference/src/radio_block.cpp:57-82)."""
+        self.__init__(self.mode, self.on_audio_channel, self.decode_audio)

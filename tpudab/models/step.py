@@ -1,0 +1,120 @@
+"""Pure jittable receive step: aligned IQ frames -> decoded FIC + MSC bits.
+
+This is the flagship device program (SURVEY.md sec 7 architecture:
+`step(carry, iq_block) -> (carry, outputs)`): PLL + batched FFT demod +
+FIC depuncture/Viterbi/descramble + per-subchannel time-deinterleave (ring
+carry) + depuncture/Viterbi/descramble — everything on device, bit outputs
+packed to bytes on device. The host only parses bytes (FIGs, superframes).
+
+Used by __graft_entry__ (compile check), bench.py (throughput), and
+tpudab.parallel (sharded multi-chip variant).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpudab.constants.ofdm_params import get_ofdm_params
+from tpudab.constants.dab_params import get_dab_params, CIF_BITS, CU_BITS
+from tpudab.constants.puncture import FIC_PROFILE, FIC_PROFILE_MODE3
+from tpudab.fec.prbs import prbs_bits
+from tpudab.fec.depuncture import depuncture
+from tpudab.msc.subchannel import SubchannelConfig
+from tpudab.msc.interleave import interleave_delays, TIME_INTERLEAVE_DEPTH
+from tpudab.ofdm.demod import demod_frames
+from tpudab.ops.viterbi import viterbi_decode
+from tpudab.utils.bits import jnp_pack_bits
+
+
+def _descramble_pack(bits, n_bits: int):
+    """Device-side energy-dispersal descramble + MSB-first byte pack."""
+    prbs = jnp.asarray(prbs_bits(n_bits))
+    return jnp_pack_bits(bits ^ prbs)
+
+
+@dataclasses.dataclass
+class ReceiveStep:
+    """Builds a jitted step for a fixed subchannel configuration."""
+
+    mode: int
+    subchannels: Tuple[SubchannelConfig, ...]
+    window_offset: int = 12
+
+    def __post_init__(self):
+        self.params = get_ofdm_params(self.mode)
+        self.dab = get_dab_params(self.mode)
+        self._fn = jax.jit(self._step)
+
+    # -------- carry --------
+
+    def init_carry(self) -> Dict[str, jnp.ndarray]:
+        return {
+            f"deint_{cfg.subch_id}": jnp.zeros(
+                (TIME_INTERLEAVE_DEPTH - 1, cfg.slice_bits), jnp.float32)
+            for cfg in self.subchannels
+        }
+
+    # -------- the step --------
+
+    def _step(self, carry, frames, freq_hz):
+        """frames: (F, frame_len) complex64 aligned; freq_hz scalar.
+
+        Returns (carry, outputs) with outputs:
+          fic_bytes: (F * n_groups, group_bytes) uint8 (pre-CRC-check)
+          subch: {id: (C, frame_bytes) uint8} decoded logical frames
+                 (logical index alignment handled by the host wrapper)
+        """
+        p, dab = self.params, self.dab
+        f = frames.shape[0]
+        soft, stats = demod_frames(frames, freq_hz, self.mode, self.window_offset)
+
+        # ---- FIC ----
+        fic_profile = FIC_PROFILE_MODE3 if self.mode == 3 else FIC_PROFILE
+        g = dab.nb_fib_groups
+        groups = soft[:, : dab.nb_fic_bits].reshape(f * g, dab.nb_fic_bits_per_group)
+        n_bits = fic_profile.data_bits
+        mother = depuncture(groups, fic_profile).reshape(f * g, n_bits + 6, 4)
+        fic_bits = viterbi_decode(mother, n_bits)
+        fic_bytes = _descramble_pack(fic_bits, n_bits)
+
+        # ---- MSC ----
+        cifs = soft[:, dab.nb_fic_bits:].reshape(f * dab.nb_cifs, CIF_BITS)
+        new_carry = dict(carry)
+        subch_out = {}
+        for cfg in self.subchannels:
+            lo = cfg.start_cu * CU_BITS
+            sl = jax.lax.slice_in_dim(cifs, lo, lo + cfg.slice_bits, axis=1)
+            hist = carry[f"deint_{cfg.subch_id}"]
+            buf = jnp.concatenate([hist, sl], axis=0)
+            c = sl.shape[0]
+            d = jnp.asarray(interleave_delays(cfg.slice_bits)[None, :], jnp.int32)
+            rows = jnp.arange(c, dtype=jnp.int32)[:, None] + d
+            cols = jnp.arange(cfg.slice_bits, dtype=jnp.int32)[None, :]
+            logical = buf[rows, cols]
+            new_carry[f"deint_{cfg.subch_id}"] = buf[-(TIME_INTERLEAVE_DEPTH - 1):]
+
+            body = logical[:, : cfg.slice_bits - cfg.padding_bits] \
+                if cfg.padding_bits else logical
+            mother = depuncture(body, cfg.profile).reshape(c, cfg.data_bits + 6, 4)
+            bits = viterbi_decode(mother, cfg.data_bits)
+            subch_out[cfg.subch_id] = _descramble_pack(bits, cfg.data_bits)
+
+        outputs = {"fic_bytes": fic_bytes, "subch": subch_out,
+                   "mean_power": stats["mean_power"]}
+        return new_carry, outputs
+
+    def __call__(self, carry, frames, freq_hz):
+        return self._fn(carry, frames, freq_hz)
+
+    def example_args(self, n_frames: int = 4, seed: int = 0):
+        rng = np.random.default_rng(seed)
+        frames = (rng.standard_normal((n_frames, self.params.nb_frame_length))
+                  + 1j * rng.standard_normal((n_frames, self.params.nb_frame_length))
+                  ).astype(np.complex64)
+        return self.init_carry(), jnp.asarray(frames), jnp.float32(0.0)

@@ -1,0 +1,170 @@
+"""Sharded receive step over the (ensemble, time) mesh.
+
+Multi-chip design (SURVEY.md sec 2.7, sec 5.7; BASELINE configs 4-5):
+- 'ensemble' axis: independent DAB ensembles, pure data parallel, no comm.
+- 'time' axis: each shard holds a contiguous run of transmission frames of
+  the same ensemble. The only sequential coupling is the 16-CIF time
+  deinterleaver; its 15-CIF history is exchanged with the left time-neighbor
+  via one lax.ppermute per subchannel per step (a few hundred KB over ICI),
+  after which every shard decodes its frames independently — continuous
+  decode across block seams with zero host round trips.
+
+A step-level carry holds the stream tail so consecutive step calls are
+seamless too (streaming resume, SURVEY.md sec 5.4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
+
+from tpudab.constants.ofdm_params import get_ofdm_params
+from tpudab.constants.dab_params import get_dab_params, CIF_BITS, CU_BITS
+from tpudab.constants.puncture import FIC_PROFILE, FIC_PROFILE_MODE3
+from tpudab.fec.depuncture import depuncture
+from tpudab.fec.prbs import prbs_bits
+from tpudab.msc.interleave import interleave_delays, TIME_INTERLEAVE_DEPTH
+from tpudab.msc.subchannel import SubchannelConfig
+from tpudab.ofdm.demod import demod_frames
+from tpudab.ops.viterbi import viterbi_decode
+from tpudab.utils.bits import jnp_pack_bits
+
+_H = TIME_INTERLEAVE_DEPTH - 1  # 15-CIF halo
+
+
+@dataclasses.dataclass
+class ShardedReceiveStep:
+    """jit(shard_map(step)) over a Mesh(('ensemble', 'time'))."""
+
+    mesh: Mesh
+    mode: int
+    subchannels: Tuple[SubchannelConfig, ...]
+    window_offset: int = 12
+
+    def __post_init__(self):
+        self.params = get_ofdm_params(self.mode)
+        self.dab = get_dab_params(self.mode)
+        self.n_time = self.mesh.shape["time"]
+
+        carry_spec = {f"deint_{c.subch_id}": P("ensemble", None, None)
+                      for c in self.subchannels}
+        out_spec = {
+            "fic_bytes": P("ensemble", "time", None, None),
+            "subch": {c.subch_id: P("ensemble", "time", None, None)
+                      for c in self.subchannels},
+            "tails": {c.subch_id: P("ensemble", "time", None, None)
+                      for c in self.subchannels},
+        }
+        self._fn = jax.jit(jax.shard_map(
+            self._step,
+            mesh=self.mesh,
+            in_specs=(carry_spec, P("ensemble", "time", None), P("ensemble")),
+            out_specs=(out_spec,),
+            check_vma=False,
+        ))
+
+    # ---------------- carry ----------------
+
+    def init_carry(self, n_ensembles: int):
+        carry = {
+            f"deint_{c.subch_id}": jnp.zeros((n_ensembles, _H, c.slice_bits),
+                                             jnp.float32)
+            for c in self.subchannels
+        }
+        sharding = NamedSharding(self.mesh, P("ensemble", None, None))
+        return jax.device_put(carry, {k: sharding for k in carry})
+
+    # ---------------- sharded step body (runs per shard) ----------------
+
+    def _step(self, carry, frames, freq_hz):
+        """Shard-local shapes: frames (E_l, T_l, frame_len), freq (E_l,).
+
+        Returns dict with shard-local outputs; the 'time' axis is re-inserted
+        as a leading size-1 axis per shard so global outputs stack over time.
+        """
+        p, dab = self.params, self.dab
+        e_l, t_l, _ = frames.shape
+        t_idx = lax.axis_index("time")
+
+        flat = frames.reshape(e_l * t_l, p.nb_frame_length)
+        freq_rep = jnp.repeat(freq_hz, t_l)
+        soft, _ = demod_frames(flat, freq_rep, self.mode, self.window_offset)
+
+        # FIC
+        fic_profile = FIC_PROFILE_MODE3 if self.mode == 3 else FIC_PROFILE
+        g = dab.nb_fib_groups
+        n_bits = fic_profile.data_bits
+        groups = soft[:, : dab.nb_fic_bits].reshape(
+            e_l * t_l * g, dab.nb_fic_bits_per_group)
+        mother = depuncture(groups, fic_profile).reshape(-1, n_bits + 6, 4)
+        fic_bits = viterbi_decode(mother, n_bits)
+        prbs = jnp.asarray(prbs_bits(n_bits))
+        fic_bytes = jnp_pack_bits(fic_bits ^ prbs).reshape(e_l, 1, t_l * g, -1)
+
+        # MSC with halo exchange over 'time'
+        c_l = t_l * dab.nb_cifs
+        cifs = soft[:, dab.nb_fic_bits:].reshape(e_l, c_l, CIF_BITS)
+        subch_out, tails = {}, {}
+        for cfg in self.subchannels:
+            lo = cfg.start_cu * CU_BITS
+            sl = lax.slice_in_dim(cifs, lo, lo + cfg.slice_bits, axis=2)
+            tail = sl[:, -_H:, :]
+            if self.n_time > 1:
+                halo = lax.ppermute(
+                    tail, "time",
+                    perm=[(i, i + 1) for i in range(self.n_time - 1)])
+            else:
+                halo = jnp.zeros_like(tail)
+            # time-shard 0 takes the step-level carry instead of the ppermute
+            # result (which is zeros there)
+            hist = jnp.where(t_idx == 0, carry[f"deint_{cfg.subch_id}"], halo)
+            buf = jnp.concatenate([hist, sl], axis=1)  # (E_l, 15 + C_l, n)
+
+            d = jnp.asarray(interleave_delays(cfg.slice_bits)[None, :], jnp.int32)
+            rows = jnp.arange(c_l, dtype=jnp.int32)[:, None] + d  # (C_l, n)
+            cols = jnp.arange(cfg.slice_bits, dtype=jnp.int32)[None, :]
+            logical = buf[:, rows, cols]  # (E_l, C_l, n)
+
+            body = logical[..., : cfg.slice_bits - cfg.padding_bits] \
+                if cfg.padding_bits else logical
+            mother = depuncture(body.reshape(e_l * c_l, -1), cfg.profile)
+            bits = viterbi_decode(mother.reshape(e_l * c_l, cfg.data_bits + 6, 4),
+                                  cfg.data_bits)
+            prbs_s = jnp.asarray(prbs_bits(cfg.data_bits))
+            by = jnp_pack_bits(bits ^ prbs_s).reshape(e_l, 1, c_l, -1)
+            subch_out[cfg.subch_id] = by
+            tails[cfg.subch_id] = tail.reshape(e_l, 1, _H, cfg.slice_bits)
+
+        return ({"fic_bytes": fic_bytes, "subch": subch_out, "tails": tails},)
+
+    # ---------------- host-facing call ----------------
+
+    def __call__(self, carry, frames, freq_hz):
+        """frames: (E, T*frames_per_shard... ) -> see _step.
+
+        frames must be (E, T_total, frame_len) with T_total divisible by the
+        time-mesh size. Returns (new_carry, outputs) where outputs' logical
+        ordering over time is contiguous per ensemble.
+        """
+        (out,) = self._fn(carry, frames, freq_hz)
+        e = frames.shape[0]
+        new_carry = {
+            f"deint_{cfg.subch_id}": out["tails"][cfg.subch_id][:, -1]
+            for cfg in self.subchannels
+        }
+        # merge (E, T_shards, per_shard, B) -> (E, total, B)
+        fic = out["fic_bytes"].reshape(e, -1, out["fic_bytes"].shape[-1])
+        subch = {k: v.reshape(e, -1, v.shape[-1]) for k, v in out["subch"].items()}
+        return new_carry, {"fic_bytes": fic, "subch": subch}
+
+    def shard_inputs(self, frames, freq_hz):
+        fs = NamedSharding(self.mesh, P("ensemble", "time", None))
+        qs = NamedSharding(self.mesh, P("ensemble"))
+        return (jax.device_put(jnp.asarray(frames), fs),
+                jax.device_put(jnp.asarray(freq_hz), qs))
