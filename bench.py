@@ -38,15 +38,30 @@ def main():
     carry = jax.device_put(carry, dev)
     frames = jax.device_put(frames, dev)
 
+    def checksum(out):
+        """True host-side barrier: reduce every output on device, fetch the
+        scalar (block_until_ready alone is not a reliable barrier under the
+        axon tunnel backend)."""
+        s = out["fic_bytes"].astype(jnp.float32).sum()
+        for v in out["subch"].values():
+            s = s + v.astype(jnp.float32).sum()
+        return float(s)
+
     # warm-up / compile
     carry, out = step(carry, frames, freq)
-    jax.block_until_ready(out)
+    checksum(out)
 
-    iters = 10
+    # calibrate: one synced step
+    t0 = time.perf_counter()
+    carry, out = step(carry, frames, freq)
+    checksum(out)
+    t_one = time.perf_counter() - t0
+    iters = max(3, min(20, int(5.0 / max(t_one, 1e-3))))
+
     t0 = time.perf_counter()
     for _ in range(iters):
         carry, out = step(carry, frames, freq)
-    jax.block_until_ready(out)
+    checksum(out)
     dt = time.perf_counter() - t0
     samples = iters * n_frames * step.params.nb_frame_length
     samples_per_s = samples / dt
@@ -57,13 +72,13 @@ def main():
     rng = np.random.default_rng(1)
     soft = jax.device_put(
         rng.standard_normal((b, n_bits + 6, 4)).astype(np.float32), dev)
-    bits = viterbi_decode(soft, n_bits)
-    jax.block_until_ready(bits)
+    vsync = lambda bits: float(bits.astype(jnp.float32).sum())
+    vsync(viterbi_decode(soft, n_bits))
     t0 = time.perf_counter()
     v_iters = 5
     for _ in range(v_iters):
         bits = viterbi_decode(soft, n_bits)
-    jax.block_until_ready(bits)
+    vsync(bits)
     v_dt = time.perf_counter() - t0
     viterbi_mbit_s = v_iters * b * n_bits / v_dt / 1e6
 
