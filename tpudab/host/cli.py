@@ -1,0 +1,241 @@
+"""CLI apps: offline decode, test-ensemble synthesis, capture info.
+
+Reference parity: the DAB-Radio example apps (`basic_radio_app` file-driven
+offline decode — SURVEY.md sec 4) and the plugin's service-list/audio UX
+(service table, per-service audio, slideshows, dynamic labels).
+
+Usage:
+  python -m tpudab.host.cli decode capture.iq --format f32 --out-dir out/
+  python -m tpudab.host.cli synth demo.iq --seconds 5 --audio mp2
+  python -m tpudab.host.cli info capture.iq
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import Dict
+
+import numpy as np
+
+
+def _load_iq(path: str, fmt: str) -> np.ndarray:
+    raw = np.fromfile(path, dtype={"u8": np.uint8, "s8": np.int8,
+                                   "s16": np.int16, "f32": np.float32}[fmt])
+    if fmt == "u8":
+        x = (raw.astype(np.float32) - 127.5) / 128.0
+    elif fmt == "s8":
+        x = raw.astype(np.float32) / 128.0
+    elif fmt == "s16":
+        x = raw.astype(np.float32) / 32768.0
+    else:
+        x = raw
+    return (x[0::2] + 1j * x[1::2]).astype(np.complex64)
+
+
+def _print_db(receiver) -> None:
+    from tpudab.constants.tables import programme_type_str, language_str
+    db = receiver.db
+    e = db.ensemble
+    print(f"Ensemble: {e.label!r}  EId=0x{e.ensemble_id:04X}  ECC=0x{e.ecc:02X}"
+          f"  country={e.country}")
+    if receiver.updater.misc.datetime_utc:
+        print(f"Time: {receiver.updater.misc.datetime_utc}")
+    print(f"{'SId':>8}  {'Label':<18} {'PTy':<20} {'SubCh':>5} {'Prot':<8}"
+          f" {'kbps':>4}  Type")
+    for sid, svc in sorted(db.services.items()):
+        for comp in db.components_of(sid):
+            sub = db.subchannels.get(comp.subch_id) if comp.subch_id is not None else None
+            prot = sub.protection_label if sub else "?"
+            br = sub.bitrate_kbps if sub else "?"
+            kind = ("DAB+" if comp.is_dab_plus else
+                    "DAB" if comp.is_audio else f"data({comp.transport_mode.name})")
+            print(f"  0x{sid:04X}  {svc.label:<18} {programme_type_str(svc.programme_type):<20}"
+                  f" {comp.subch_id if comp.subch_id is not None else '-':>5}"
+                  f" {prot:<8} {br:>4}  {kind}")
+    stats = receiver.updater.stats
+    print(f"DB: total={stats.total} completed={stats.completed} "
+          f"updates={stats.updates} conflicts={stats.conflicts}")
+
+
+def cmd_decode(args) -> int:
+    from tpudab.models.pipeline import decode_iq
+    from tpudab.audio.superframe import SuperFrameResult
+    from tpudab.audio.pipeline import WavSink
+
+    iq = _load_iq(args.path, args.format)
+    print(f"Loaded {iq.shape[0]} samples ({iq.shape[0] / 2.048e6:.2f} s)")
+    receiver, acc, stats = decode_iq(iq, mode=args.mode,
+                                     batch_frames=args.batch_frames)
+    print(f"Sync: frame_start={stats.frame_start} "
+          f"net_freq={stats.net_freq_hz:+.1f} Hz "
+          f"frames={stats.total_frames} desync={stats.total_frames_desync}")
+    print(f"FIC: {receiver.stats['fibs']} FIBs, "
+          f"{receiver.stats['fib_crc_errors']} CRC errors")
+    _print_db(receiver)
+
+    if args.out_dir:
+        os.makedirs(args.out_dir, exist_ok=True)
+        _dump_audio(receiver, acc, args.out_dir)
+    return 0
+
+
+def _dump_audio(receiver, acc: Dict, out_dir: str) -> None:
+    from tpudab.audio.codecs import (AACDecoder, MP2Decoder,
+                                     aac_decode_available, mp2_decode_available)
+    for subch_id, outs in acc.items():
+        is_plus = outs[0].is_dab_plus if outs else True
+        if is_plus:
+            aus, header = [], None
+            for o in outs:
+                for sf in o.superframes:
+                    header = sf.header or header
+                    aus.extend(sf.access_units)
+            if not aus:
+                continue
+            raw_path = os.path.join(out_dir, f"subch{subch_id}.aac.raw")
+            with open(raw_path, "wb") as f:
+                for au in aus:
+                    f.write(len(au).to_bytes(4, "little") + au)
+            print(f"subch {subch_id}: {len(aus)} AAC AUs -> {raw_path}")
+            if header is not None and aac_decode_available():
+                try:
+                    dec = AACDecoder(header)
+                    pcm = [dec.decode(bytes(au)) for au in aus]
+                    pcm = [p for p in pcm if p.shape[0]]
+                    if pcm:
+                        wav = WavFromPCM(os.path.join(out_dir, f"subch{subch_id}.wav"),
+                                         dec.sample_rate or header.sampling_rate)
+                        for p in pcm:
+                            wav.write(p)
+                        wav.close()
+                        print(f"subch {subch_id}: decoded PCM -> subch{subch_id}.wav")
+                except (RuntimeError, ValueError) as e:
+                    print(f"subch {subch_id}: AAC PCM decode unavailable ({e})")
+        else:
+            frames = [fr for o in outs for fr in o.mp2_frames]
+            if not frames:
+                continue
+            mp2_path = os.path.join(out_dir, f"subch{subch_id}.mp2")
+            with open(mp2_path, "wb") as f:
+                for fr in frames:
+                    f.write(fr)
+            print(f"subch {subch_id}: {len(frames)} MP2 frames -> {mp2_path}")
+            if mp2_decode_available():
+                dec = MP2Decoder()
+                pcm = [dec.decode(fr) for fr in frames]
+                pcm = [p for p in pcm if p.shape[0]]
+                if pcm:
+                    wav = WavFromPCM(os.path.join(out_dir, f"subch{subch_id}.wav"),
+                                     dec.sample_rate or 48000)
+                    for p in pcm:
+                        wav.write(p)
+                    wav.close()
+                    print(f"subch {subch_id}: decoded PCM -> subch{subch_id}.wav")
+
+
+class WavFromPCM:
+    def __init__(self, path: str, rate: int):
+        import wave
+        self._w = wave.open(path, "wb")
+        self._rate = rate
+        self._opened = False
+
+    def write(self, pcm: np.ndarray) -> None:
+        if not self._opened:
+            self._w.setnchannels(pcm.shape[1] if pcm.ndim > 1 else 1)
+            self._w.setsampwidth(2)
+            self._w.setframerate(self._rate)
+            self._opened = True
+        self._w.writeframes(np.ascontiguousarray(pcm, dtype=np.int16).tobytes())
+
+    def close(self) -> None:
+        self._w.close()
+
+
+def cmd_synth(args) -> int:
+    from tpudab.synth import (EnsembleSpec, ServiceSpec, SubchannelSpec,
+                              EnsembleSynthesizer, ASCTY_DAB)
+    from tpudab.synth.modulator import Impairments, apply_impairments
+    from tpudab.audio.codecs import MP2Encoder
+
+    n_frames = max(2, int(args.seconds / 0.096))
+    bitrate = 128
+    spec = EnsembleSpec(
+        ensemble_id=0xCE15, label="TPU DAB Demo",
+        services=[ServiceSpec(0xC221, "Tone Radio", [(0, ASCTY_DAB, 1)],
+                              programme_type=10)],
+        subchannels=[SubchannelSpec(1, start_cu=0, size_cu=96,
+                                    protection=("uep", bitrate, 3))])
+    synth = EnsembleSynthesizer(spec, seed=1)
+
+    enc = MP2Encoder(48000, 2, bitrate)
+    n_logical = n_frames * 4 + 20
+    need_mp2 = n_logical * bitrate * 3
+    pcm_t = np.arange(enc.frame_size)
+    packets = b""
+    phase = 0.0
+    while len(packets) < need_mp2:
+        f_hz = 440.0 * (1 + 0.5 * np.sin(phase / 40))
+        tone = (9000 * np.sin(2 * np.pi * f_hz * pcm_t / 48000)).astype(np.int16)
+        packets += enc.encode(np.stack([tone, tone], axis=1))
+        phase += 1
+    stream = np.frombuffer(packets[:need_mp2], dtype=np.uint8).reshape(
+        n_logical, bitrate * 3)
+    synth.payload_fn[1] = lambda m: stream[m].tobytes()
+
+    from tpudab.synth.modulator import modulate_frame_bits
+    iq = np.concatenate([modulate_frame_bits(synth.frame_bits(i))
+                         for i in range(n_frames)])
+    iq = apply_impairments(iq, Impairments(freq_offset_hz=args.cfo,
+                                           snr_db=args.snr, seed=2))
+    inter = np.empty(iq.shape[0] * 2, dtype=np.float32)
+    inter[0::2] = iq.real
+    inter[1::2] = iq.imag
+    inter.tofile(args.path)
+    print(f"Wrote {n_frames} frames ({n_frames * 0.096:.2f} s) to {args.path} "
+          f"(f32 interleaved, 2.048 MS/s)")
+    return 0
+
+
+def cmd_info(args) -> int:
+    from tpudab.ofdm.sync import acquire
+    iq = _load_iq(args.path, args.format)
+    res = acquire(iq[: min(iq.shape[0], 4 * 196608)])
+    for k, v in res.items():
+        print(f"{k}: {v}")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="tpudab", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("decode", help="decode an IQ capture")
+    d.add_argument("path")
+    d.add_argument("--format", choices=["u8", "s8", "s16", "f32"], default="f32")
+    d.add_argument("--mode", type=int, default=1)
+    d.add_argument("--batch-frames", type=int, default=8)
+    d.add_argument("--out-dir", default=None)
+    d.set_defaults(fn=cmd_decode)
+
+    s = sub.add_parser("synth", help="synthesize a demo ensemble capture")
+    s.add_argument("path")
+    s.add_argument("--seconds", type=float, default=3.0)
+    s.add_argument("--snr", type=float, default=25.0)
+    s.add_argument("--cfo", type=float, default=1500.0)
+    s.add_argument("--audio", choices=["mp2"], default="mp2")
+    s.set_defaults(fn=cmd_synth)
+
+    i = sub.add_parser("info", help="acquisition info for a capture")
+    i.add_argument("path")
+    i.add_argument("--format", choices=["u8", "s8", "s16", "f32"], default="f32")
+    i.set_defaults(fn=cmd_info)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
