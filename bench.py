@@ -34,9 +34,10 @@ def main():
     n_frames = 16
 
     step = ReceiveStep(mode=1, subchannels=_bench_subchannels())
-    carry, frames, freq = step.example_args(n_frames=n_frames, seed=0)
+    carry, frames_re, frames_im, freq = step.example_args(n_frames=n_frames, seed=0)
     carry = jax.device_put(carry, dev)
-    frames = jax.device_put(frames, dev)
+    frames_re = jax.device_put(frames_re, dev)
+    frames_im = jax.device_put(frames_im, dev)
 
     def checksum(out):
         """True host-side barrier: reduce every output on device, fetch the
@@ -48,19 +49,19 @@ def main():
         return float(s)
 
     # warm-up / compile
-    carry, out = step(carry, frames, freq)
+    carry, out = step(carry, frames_re, frames_im, freq)
     checksum(out)
 
     # calibrate: one synced step
     t0 = time.perf_counter()
-    carry, out = step(carry, frames, freq)
+    carry, out = step(carry, frames_re, frames_im, freq)
     checksum(out)
     t_one = time.perf_counter() - t0
     iters = max(3, min(20, int(5.0 / max(t_one, 1e-3))))
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        carry, out = step(carry, frames, freq)
+        carry, out = step(carry, frames_re, frames_im, freq)
     checksum(out)
     dt = time.perf_counter() - t0
     samples = iters * n_frames * step.params.nb_frame_length

@@ -81,3 +81,19 @@ def test_prs_search_quality_drops_without_signal():
     frame, _ = _frame_and_bits()
     _, q_sig = prs_search_full(np.concatenate([frame] * 2))
     assert float(q_sig) > 3 * float(q_noise)
+
+
+def test_split_real_demod_matches_complex():
+    """demod_frames_split (MXU matmul FFT, no complex dtype) must match the
+    complex-FFT reference path to float32 tolerance."""
+    from tpudab.ofdm.demod import demod_frames_split
+    frame, bits = _frame_and_bits(seed=21)
+    iq = apply_impairments(frame, Impairments(freq_offset_hz=800.0, snr_db=18, seed=9))
+    iq = iq[None, :196608]
+    soft_c, stats_c = demod_frames(iq, 800.0)
+    soft_s, stats_s = demod_frames_split(iq.real.astype(np.float32),
+                                         iq.imag.astype(np.float32), 800.0)
+    np.testing.assert_allclose(np.asarray(soft_s), np.asarray(soft_c),
+                               rtol=2e-3, atol=2e-3)
+    hard = (np.asarray(soft_s)[0] < 0).astype(np.uint8)
+    assert (hard != bits).mean() < 0.01

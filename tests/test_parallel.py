@@ -59,9 +59,9 @@ def test_sharded_step_bit_exact_across_seams():
     cfg = SubchannelConfig(subch_id=1, start_cu=0, size_cu=24,
                            profile=eep_profile(24, 3, 0))
     step = ShardedReceiveStep(mesh, mode=1, subchannels=(cfg,))
-    fr, fq = step.shard_inputs(frames, np.zeros(n_ens, np.float32))
+    fr, fi, fq = step.shard_inputs(frames, np.zeros(n_ens, np.float32))
     carry = step.init_carry(n_ens)
-    carry, out = step(carry, fr, fq)
+    carry, out = step(carry, fr, fi, fq)
 
     # FIC: every FIB of every ensemble/frame CRC-valid
     fic = np.asarray(out["fic_bytes"])  # (E, T*4, 96)
@@ -81,7 +81,7 @@ def test_sharded_step_bit_exact_across_seams():
     captures2 = [_make_capture(t_total, s) for s in range(n_ens)]
     # NOTE: new synthesizers restart their interleaver history, so instead
     # reuse the same capture — the point is carry shape/flow, checked below.
-    carry2, out2 = step(carry, fr, fq)
+    carry2, out2 = step(carry, fr, fi, fq)
     assert np.asarray(out2["subch"][1]).shape == subch.shape
 
 
@@ -96,9 +96,9 @@ def test_sharded_matches_unsharded_oracle():
     cfg = SubchannelConfig(subch_id=1, start_cu=0, size_cu=24,
                            profile=eep_profile(24, 3, 0))
     step = ShardedReceiveStep(mesh, mode=1, subchannels=(cfg,))
-    fr, fq = step.shard_inputs(frames, np.zeros(n_ens, np.float32))
+    fr, fi, fq = step.shard_inputs(frames, np.zeros(n_ens, np.float32))
     carry = step.init_carry(n_ens)
-    _, out = step(carry, fr, fq)
+    _, out = step(carry, fr, fi, fq)
     sharded = np.asarray(out["subch"][1])
 
     dab = get_dab_params(1)

@@ -27,7 +27,7 @@ from tpudab.fec.prbs import prbs_bits
 from tpudab.fec.depuncture import depuncture
 from tpudab.msc.subchannel import SubchannelConfig
 from tpudab.msc.interleave import interleave_delays, TIME_INTERLEAVE_DEPTH
-from tpudab.ofdm.demod import demod_frames
+from tpudab.ofdm.demod import demod_frames_split
 from tpudab.ops.viterbi import viterbi_decode
 from tpudab.utils.bits import jnp_pack_bits
 
@@ -62,17 +62,19 @@ class ReceiveStep:
 
     # -------- the step --------
 
-    def _step(self, carry, frames, freq_hz):
-        """frames: (F, frame_len) complex64 aligned; freq_hz scalar.
+    def _step(self, carry, frames_re, frames_im, freq_hz):
+        """frames_re/_im: (F, frame_len) float32 aligned; freq_hz scalar.
 
-        Returns (carry, outputs) with outputs:
+        Split re/im keeps the device program complex-free (FFT = MXU matmuls
+        via tpudab.ops.matfft). Returns (carry, outputs) with outputs:
           fic_bytes: (F * n_groups, group_bytes) uint8 (pre-CRC-check)
           subch: {id: (C, frame_bytes) uint8} decoded logical frames
                  (logical index alignment handled by the host wrapper)
         """
         p, dab = self.params, self.dab
-        f = frames.shape[0]
-        soft, stats = demod_frames(frames, freq_hz, self.mode, self.window_offset)
+        f = frames_re.shape[0]
+        soft, stats = demod_frames_split(frames_re, frames_im, freq_hz,
+                                         self.mode, self.window_offset)
 
         # ---- FIC ----
         fic_profile = FIC_PROFILE_MODE3 if self.mode == 3 else FIC_PROFILE
@@ -109,12 +111,19 @@ class ReceiveStep:
                    "mean_power": stats["mean_power"]}
         return new_carry, outputs
 
-    def __call__(self, carry, frames, freq_hz):
-        return self._fn(carry, frames, freq_hz)
+    def __call__(self, carry, frames_re, frames_im, freq_hz):
+        return self._fn(carry, frames_re, frames_im, freq_hz)
+
+    def call_complex(self, carry, frames, freq_hz):
+        """Convenience wrapper for complex64 host buffers."""
+        frames = np.asarray(frames)
+        return self._fn(carry, jnp.asarray(frames.real),
+                        jnp.asarray(frames.imag), freq_hz)
 
     def example_args(self, n_frames: int = 4, seed: int = 0):
         rng = np.random.default_rng(seed)
-        frames = (rng.standard_normal((n_frames, self.params.nb_frame_length))
-                  + 1j * rng.standard_normal((n_frames, self.params.nb_frame_length))
-                  ).astype(np.complex64)
-        return self.init_carry(), jnp.asarray(frames), jnp.float32(0.0)
+        shape = (n_frames, self.params.nb_frame_length)
+        re = rng.standard_normal(shape).astype(np.float32)
+        im = rng.standard_normal(shape).astype(np.float32)
+        return (self.init_carry(), jnp.asarray(re), jnp.asarray(im),
+                jnp.float32(0.0))

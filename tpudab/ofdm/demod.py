@@ -83,3 +83,52 @@ def demod_frames(frames, freq_offset_hz, mode: int = 1, window_offset: int = 12)
         "mean_power": jnp.mean(jnp.abs(frames) ** 2, axis=-1),
     }
     return soft.astype(jnp.float32), stats
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "window_offset"))
+def demod_frames_split(frames_re, frames_im, freq_offset_hz, mode: int = 1,
+                       window_offset: int = 12):
+    """Complex-free demod: split re/im float32 in, soft bits out.
+
+    Numerically equivalent to demod_frames but with the FFT as MXU matmuls
+    (tpudab.ops.matfft) and all complex arithmetic on split parts — the
+    TPU-first formulation (no complex dtype anywhere on device).
+    """
+    from tpudab.ops.matfft import matfft
+
+    p = get_ofdm_params(mode)
+    f = frames_re.shape[0]
+    n_sym, n_fft, n_cp = p.nb_symbols, p.nb_fft, p.nb_cyclic_prefix
+
+    freq = jnp.broadcast_to(jnp.asarray(freq_offset_hz, jnp.float32), (f,))
+    t_idx = jnp.arange(p.nb_frame_length, dtype=jnp.float32) / SAMPLING_RATE
+    ph = -2.0 * jnp.pi * freq[:, None] * t_idx[None, :]
+    c, s = jnp.cos(ph), jnp.sin(ph)
+    xr = frames_re * c - frames_im * s
+    xi = frames_re * s + frames_im * c
+
+    start = n_cp - window_offset
+    def carve(x):
+        sym = x[:, p.nb_null_period:].reshape(f, n_sym, n_fft + n_cp)
+        return sym[:, :, start:start + n_fft]
+    wr, wi = carve(xr), carve(xi)
+    sr, si = matfft(wr, wi)
+
+    bins = jnp.asarray(active_bin_indices(mode))
+    cr = jnp.take(sr, bins, axis=-1)
+    ci = jnp.take(si, bins, axis=-1)
+
+    # differential demap: z_l * conj(z_{l-1})
+    dr = cr[:, 1:, :] * cr[:, :-1, :] + ci[:, 1:, :] * ci[:, :-1, :]
+    di = ci[:, 1:, :] * cr[:, :-1, :] - cr[:, 1:, :] * ci[:, :-1, :]
+
+    pos = jnp.asarray(get_carrier_map_positions(mode).astype(np.int32))
+    lr = jnp.take(dr, pos, axis=-1)
+    li = jnp.take(di, pos, axis=-1)
+
+    soft = jnp.concatenate([lr, li], axis=-1).reshape(f, p.nb_frame_bits)
+    norm = jnp.mean(jnp.abs(soft), axis=-1, keepdims=True)
+    soft = soft / jnp.maximum(norm, 1e-20)
+
+    stats = {"mean_power": jnp.mean(frames_re ** 2 + frames_im ** 2, axis=-1)}
+    return soft.astype(jnp.float32), stats

@@ -31,7 +31,7 @@ from tpudab.fec.depuncture import depuncture
 from tpudab.fec.prbs import prbs_bits
 from tpudab.msc.interleave import interleave_delays, TIME_INTERLEAVE_DEPTH
 from tpudab.msc.subchannel import SubchannelConfig
-from tpudab.ofdm.demod import demod_frames
+from tpudab.ofdm.demod import demod_frames_split
 from tpudab.ops.viterbi import viterbi_decode
 from tpudab.utils.bits import jnp_pack_bits
 
@@ -64,7 +64,8 @@ class ShardedReceiveStep:
         self._fn = jax.jit(jax.shard_map(
             self._step,
             mesh=self.mesh,
-            in_specs=(carry_spec, P("ensemble", "time", None), P("ensemble")),
+            in_specs=(carry_spec, P("ensemble", "time", None),
+                      P("ensemble", "time", None), P("ensemble")),
             out_specs=(out_spec,),
             check_vma=False,
         ))
@@ -82,19 +83,22 @@ class ShardedReceiveStep:
 
     # ---------------- sharded step body (runs per shard) ----------------
 
-    def _step(self, carry, frames, freq_hz):
-        """Shard-local shapes: frames (E_l, T_l, frame_len), freq (E_l,).
+    def _step(self, carry, frames_re, frames_im, freq_hz):
+        """Shard-local shapes: frames_re/_im (E_l, T_l, frame_len) float32,
+        freq (E_l,). Complex-free split-real path (tpudab.ops.matfft).
 
         Returns dict with shard-local outputs; the 'time' axis is re-inserted
         as a leading size-1 axis per shard so global outputs stack over time.
         """
         p, dab = self.params, self.dab
-        e_l, t_l, _ = frames.shape
+        e_l, t_l, _ = frames_re.shape
         t_idx = lax.axis_index("time")
 
-        flat = frames.reshape(e_l * t_l, p.nb_frame_length)
+        flat_re = frames_re.reshape(e_l * t_l, p.nb_frame_length)
+        flat_im = frames_im.reshape(e_l * t_l, p.nb_frame_length)
         freq_rep = jnp.repeat(freq_hz, t_l)
-        soft, _ = demod_frames(flat, freq_rep, self.mode, self.window_offset)
+        soft, _ = demod_frames_split(flat_re, flat_im, freq_rep, self.mode,
+                                     self.window_offset)
 
         # FIC
         fic_profile = FIC_PROFILE_MODE3 if self.mode == 3 else FIC_PROFILE
@@ -145,15 +149,13 @@ class ShardedReceiveStep:
 
     # ---------------- host-facing call ----------------
 
-    def __call__(self, carry, frames, freq_hz):
-        """frames: (E, T*frames_per_shard... ) -> see _step.
-
-        frames must be (E, T_total, frame_len) with T_total divisible by the
-        time-mesh size. Returns (new_carry, outputs) where outputs' logical
-        ordering over time is contiguous per ensemble.
+    def __call__(self, carry, frames_re, frames_im, freq_hz):
+        """frames_re/_im: (E, T_total, frame_len) float32, T_total divisible
+        by the time-mesh size. Returns (new_carry, outputs) where outputs'
+        logical ordering over time is contiguous per ensemble.
         """
-        (out,) = self._fn(carry, frames, freq_hz)
-        e = frames.shape[0]
+        (out,) = self._fn(carry, frames_re, frames_im, freq_hz)
+        e = frames_re.shape[0]
         new_carry = {
             f"deint_{cfg.subch_id}": out["tails"][cfg.subch_id][:, -1]
             for cfg in self.subchannels
@@ -164,7 +166,10 @@ class ShardedReceiveStep:
         return new_carry, {"fic_bytes": fic, "subch": subch}
 
     def shard_inputs(self, frames, freq_hz):
+        """frames: complex (E, T, len) host array -> sharded split re/im."""
         fs = NamedSharding(self.mesh, P("ensemble", "time", None))
         qs = NamedSharding(self.mesh, P("ensemble"))
-        return (jax.device_put(jnp.asarray(frames), fs),
+        frames = np.asarray(frames)
+        return (jax.device_put(jnp.asarray(frames.real, jnp.float32), fs),
+                jax.device_put(jnp.asarray(frames.imag, jnp.float32), fs),
                 jax.device_put(jnp.asarray(freq_hz), qs))
