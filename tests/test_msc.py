@@ -164,3 +164,53 @@ def test_msc_full_ensemble_to_access_units():
     for res, aus in zip(results, all_aus):
         assert res.firecode_ok and res.rs_ok and all(res.au_crc_ok)
         assert [bytes(a) for a in res.access_units] == aus
+
+
+def test_dabplus_pad_dynamic_label_and_slideshow():
+    """PAD DSE inside DAB+ AUs: dynamic label + MOT slideshow decoded by the
+    channel (reference parity: GetDynamicLabel / GetSlideshowManager)."""
+    from tpudab.pad.xpad import (build_xpad_into_au,
+                                 build_dynamic_label_segments,
+                                 APP_DYNAMIC_LABEL_START, APP_MOT_START,
+                                 APP_MOT_CONT)
+    from tpudab.mot.mot import MOTObject, build_mot_object_groups, ContentType
+
+    rng = np.random.default_rng(8)
+    bitrate = 88
+    hdr = SuperFrameHeader(dac_rate=1, sbr_flag=0, aac_channel_mode=1,
+                           ps_flag=0, mpeg_surround=0)
+    # PAD payload queue: dynamic label first, then an MOT slide
+    label_segs = build_dynamic_label_segments("TPU DAB dynamic label")
+    img = rng.integers(0, 256, 300).astype(np.uint8).tobytes()
+    obj = MOTObject(transport_id=5, content_type=ContentType.IMAGE,
+                    content_subtype=3, body=img, content_name="s.png")
+    mot_chunks = []
+    for g in build_mot_object_groups(obj, segment_size=128):
+        framed = bytes([(len(g) >> 8) & 0x3F, len(g) & 0xFF]) + g
+        # mid-group X-PAD subfields must be exactly filled (only the final
+        # subfield may be padded; the data-group length field trims it)
+        parts = [framed[i:i + 48] for i in range(0, len(framed), 48)]
+        mot_chunks.append(parts)
+
+    pad_events = [[(APP_DYNAMIC_LABEL_START, s)] for s in label_segs]
+    for parts in mot_chunks:
+        pad_events.extend(
+            [(APP_MOT_START if j == 0 else APP_MOT_CONT, p)]
+            for j, p in enumerate(parts))
+
+    n_sf = (len(pad_events) + 5) // 6 + 1
+    ch = DABPlusChannel(bitrate)
+    ev = iter(pad_events + [[(APP_DYNAMIC_LABEL_START, label_segs[0])]] * 100)
+    avail = 110 * bitrate // 8 - header_size_bytes(6)
+    for _ in range(n_sf):
+        aus = [build_xpad_into_au(b"\x55" * 20, next(ev)) for _ in range(6)]
+        # the last AU runs to the end of the audio super frame: pad its
+        # payload so the AUs exactly fill the available space
+        slack = avail - sum(len(a) + 2 for a in aus)
+        assert slack >= 0
+        aus[-1] = aus[-1] + b"\x00" * slack
+        sf = build_superframe(hdr, aus, bitrate)
+        ch.process_frames(sf.reshape(FRAMES_PER_SUPERFRAME, -1))
+    assert ch.dynamic_label == "TPU DAB dynamic label"
+    assert len(ch.slideshow.slides) == 1
+    assert ch.slideshow.slides[0].data == img

@@ -78,11 +78,21 @@ class DABChannel:
     """
 
     def __init__(self, subch_bitrate_kbps: int):
+        from tpudab.pad.xpad import XPADProcessor
+        from tpudab.mot.slideshow import SlideshowManager
+
         self.bitrate = subch_bitrate_kbps
         self.frame_bytes = subch_bitrate_kbps * 3
         self._pending = b""
         self.stats = {"frames": 0, "sync_errors": 0}
         self.last_header: Optional[MP2FrameHeader] = None
+        # PAD chain (F-PAD/X-PAD at the tail of each DAB audio frame)
+        self.slideshow = SlideshowManager()
+        self.xpad = XPADProcessor(on_mot_data_group=self.slideshow.push_data_group)
+
+    @property
+    def dynamic_label(self) -> str:
+        return self.xpad.dynamic_label.label
 
     def process_frames(self, frames: np.ndarray) -> List[bytes]:
         """frames: (N, frame_bytes) -> list of complete MP2 frames (bytes)."""
@@ -98,8 +108,13 @@ class DABChannel:
             if pos + hdr.frame_bytes > len(buf):
                 break
             self.last_header = hdr
-            out.append(buf[pos : pos + hdr.frame_bytes])
+            frame = buf[pos : pos + hdr.frame_bytes]
+            out.append(frame)
             self.stats["frames"] += 1
             pos += hdr.frame_bytes
+            from tpudab.pad.xpad import extract_pad_from_mp2_frame
+            fpad, xpad = extract_pad_from_mp2_frame(frame)
+            if fpad and (fpad[0] >> 4) & 3:
+                self.xpad.push(fpad, xpad)
         self._pending = buf[pos:]
         return out

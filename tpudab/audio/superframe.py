@@ -171,6 +171,9 @@ class DABPlusChannel:
     """
 
     def __init__(self, subch_bitrate_kbps: int):
+        from tpudab.pad.xpad import XPADProcessor
+        from tpudab.mot.slideshow import SlideshowManager
+
         self.bitrate = subch_bitrate_kbps
         self.frame_bytes = subch_bitrate_kbps * 3
         self._buf: List[np.ndarray] = []
@@ -178,6 +181,13 @@ class DABPlusChannel:
         self.stats = {"firecode_errors": 0, "rs_errors": 0, "au_errors": 0,
                       "superframes": 0, "rs_corrected": 0}
         self.last_header: Optional[SuperFrameHeader] = None
+        # PAD chain (reference: GetDynamicLabel / GetSlideshowManager)
+        self.slideshow = SlideshowManager()
+        self.xpad = XPADProcessor(on_mot_data_group=self.slideshow.push_data_group)
+
+    @property
+    def dynamic_label(self) -> str:
+        return self.xpad.dynamic_label.label
 
     def _try_lock(self) -> None:
         """Find the superframe phase: firecode must verify on the RS-corrected
@@ -212,5 +222,13 @@ class DABPlusChannel:
                 self.stats["rs_errors"] += 1
             self.stats["au_errors"] += sum(1 for ok in res.au_crc_ok if not ok)
             self.last_header = res.header
+            # PAD: each AU may start with a PAD DSE (TS 102 563 sec 5.4.3)
+            from tpudab.pad.xpad import extract_pad_from_dabplus_au
+            for au, ok in zip(res.access_units, res.au_crc_ok):
+                if not ok:
+                    continue
+                _, fpad, xpad = extract_pad_from_dabplus_au(bytes(au))
+                if fpad:
+                    self.xpad.push(fpad, xpad)
             results.append(res)
         return results

@@ -6,4 +6,5 @@ titles) + MOT slideshow segments carried in X-PAD; GetDynamicLabel surface
 """
 
 from tpudab.pad.xpad import (XPADProcessor, extract_pad_from_dabplus_au,
-                             build_xpad_into_au, DynamicLabelDecoder)
+                             extract_pad_from_mp2_frame, build_xpad_into_au,
+                             DynamicLabelDecoder)

@@ -230,31 +230,40 @@ class XPADProcessor:
 
 
 # ---------------------------------------------------------------------------
-# DAB+ AU carriage helpers
+# DAB+ AU carriage: PAD inside an AAC Data Stream Element (TS 102 563
+# sec 5.4.3). The DSE is the first syntactic element of the raw data block:
+#   id_syn_ele(3)=4, element_instance_tag(4), data_byte_align_flag(1),
+#   count(8) [+ esc(8) if count==255], then the data bytes.
+# DSE data layout: F-PAD (2 bytes) followed by the X-PAD field in reverse
+# byte order (the CI list ends up nearest the F-PAD).
 # ---------------------------------------------------------------------------
-# In DAB+ (TS 102 563 sec 5.4.3), PAD is carried inside the AAC AU via a
-# Data Stream Element (DSE); full DSE parsing requires AAC bitstream-level
-# work. For the framework's own synth fixtures and tests we carry PAD in a
-# framed trailer: [xpad_reversed | fpad(2)], with the X-PAD length implied by
-# the F-PAD indicator. Real-broadcast DSE extraction is a TODO tracked in
-# the package docstring.
 
 def extract_pad_from_dabplus_au(au: bytes) -> Tuple[bytes, bytes, bytes]:
-    """Split a framed AU trailer [payload | xpad_rev | len | fpad(2)] into
-    (payload, fpad, xpad-in-transmission-order)."""
-    if len(au) < 3:
+    """Parse a leading DSE from an AAC AU.
+
+    Returns (remaining_au, fpad, xpad-in-transmission-order); empty pads if
+    the AU does not start with a DSE.
+    """
+    if len(au) < 2 or (au[0] >> 5) & 7 != 4:
         return au, b"", b""
-    fpad = au[-2:]
-    xpad_len = au[-3]
-    if len(au) < 3 + xpad_len:
+    count = au[1]
+    offset = 2
+    if count == 255:
+        if len(au) < 3:
+            return au, b"", b""
+        count += au[2]
+        offset = 3
+    if len(au) < offset + count or count < 2:
         return au, b"", b""
-    xpad_rev = au[-3 - xpad_len : -3]
-    return au[: -3 - xpad_len], fpad, xpad_rev[::-1]
+    data = au[offset : offset + count]
+    fpad = data[:2]
+    xpad = data[2:][::-1]
+    return au[offset + count:], fpad, xpad
 
 
 def build_xpad_into_au(au_payload: bytes, cis: List[Tuple[int, bytes]],
                        ci_flag: bool = True) -> bytes:
-    """Append [xpad | fpad] trailer to an AU payload (synth fixture).
+    """Prepend a PAD DSE to an AU payload (synth fixture).
 
     cis: list of (app_type, subfield_bytes); lengths are rounded up to the
     nearest legal X-PAD subfield size with zero padding.
@@ -270,5 +279,45 @@ def build_xpad_into_au(au_payload: bytes, cis: List[Tuple[int, bytes]],
         ci_bytes += b"\x00"  # CI list terminator
     body = (ci_bytes if ci_flag else b"") + xpad
     fpad = bytes([(2 << 4), (1 << 1) if ci_flag else 0])  # variable size X-PAD
-    assert len(body) < 256
-    return au_payload + body[::-1] + bytes([len(body)]) + fpad
+    data = fpad + body[::-1]
+    assert len(data) < 255
+    dse = bytes([(4 << 5) | 1, len(data)]) + data  # tag 0, byte-aligned
+    return dse + au_payload
+
+
+def extract_pad_from_mp2_frame(frame: bytes, max_cis: int = 4
+                               ) -> Tuple[bytes, bytes]:
+    """(fpad, xpad-in-transmission-order) from a DAB MP2 audio frame.
+
+    In DAB audio frames the F-PAD is the last two bytes and the X-PAD
+    (reverse byte order) sits immediately before it; for variable-size X-PAD
+    with a CI list, the total length is recoverable by walking the CI bytes
+    backwards from the F-PAD (EN 300 401 sec 7.4.2).
+    """
+    if len(frame) < 2:
+        return b"", b""
+    fpad = frame[-2:]
+    xpad_ind = (fpad[0] >> 4) & 3
+    ci_flag = (fpad[1] >> 1) & 1
+    if xpad_ind == 1:
+        xpad_rev = frame[-2 - 4 : -2]
+        return fpad, xpad_rev[::-1]
+    if xpad_ind != 2 or not ci_flag:
+        return fpad, b""
+    # walk CI bytes backwards (they are the first X-PAD bytes, so nearest
+    # the F-PAD after reversal)
+    total = 0
+    n_ci = 0
+    pos = len(frame) - 3
+    while n_ci < max_cis and pos >= 0:
+        ci = frame[pos]
+        n_ci += 1
+        pos -= 1
+        if (ci & 0x1F) == 0:
+            break
+        total += XPAD_LENGTHS[(ci >> 5) & 7]
+    xpad_len = n_ci + total
+    if len(frame) < 2 + xpad_len:
+        return fpad, b""
+    xpad_rev = frame[-2 - xpad_len : -2]
+    return fpad, xpad_rev[::-1]
