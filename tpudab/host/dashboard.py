@@ -1,0 +1,124 @@
+"""Terminal monitoring dashboard: the reference ImGui views as ANSI text.
+
+Reference parity (SURVEY.md sec 2.1 'Radio_View_Controller'): OFDM
+state/offsets/counters, service list with audio/data status, per-service
+detail (subchannel, protection, bitrate), DB updater stats, per-channel
+error flags (Firecode/RS/AU), dynamic labels, slideshow inventory, audio
+controls (volume/mute analog: pipeline gain).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import Optional
+
+from tpudab.constants.tables import programme_type_str, language_str
+
+
+def render_text(receiver, stats=None, audio=None, width: int = 78) -> str:
+    """Build the full status screen as a string (testable, UI-agnostic)."""
+    db = receiver.db
+    lines = []
+    bar = "=" * width
+    lines.append(bar)
+    e = db.ensemble
+    lines.append(f" tpudab | ensemble {e.label or '?'} (0x{e.ensemble_id:04X}) "
+                 f"| {e.country}")
+    if stats is not None:
+        lines.append(
+            f" state={getattr(stats, 'state', '-')} "
+            f"freq={getattr(stats, 'net_freq_hz', 0.0):+8.1f} Hz "
+            f"(coarse {getattr(stats, 'coarse_freq_hz', 0.0):+6.0f} "
+            f"fine {getattr(stats, 'fine_freq_hz', 0.0):+7.1f}) "
+            f"power={getattr(stats, 'signal_power', 0.0):.3f}")
+        lines.append(
+            f" frames={getattr(stats, 'total_frames', 0)} "
+            f"desync={getattr(stats, 'total_frames_desync', 0)} "
+            f"reacq={getattr(stats, 'reacquisitions', 0)} "
+            f"timing_adj={getattr(stats, 'timing_adjustments', 0)}")
+    fibs = receiver.stats.get("fibs", 0)
+    errs = receiver.stats.get("fib_crc_errors", 0)
+    rate = 100.0 * (1 - errs / fibs) if fibs else 0.0
+    lines.append(f" FIC: {fibs} FIBs, {errs} CRC errors ({rate:.1f}% ok)")
+    if receiver.updater.misc.datetime_utc:
+        lines.append(f" time: {receiver.updater.misc.datetime_utc}")
+    lines.append(bar)
+    lines.append(f" {'SId':>6} {'label':<17}{'PTy':<15}{'lang':<10}"
+                 f"{'sub':>3} {'prot':<8}{'kbps':>4} {'type':<5} status")
+    for sid, svc in sorted(db.services.items()):
+        for comp in db.components_of(sid):
+            sub = db.subchannels.get(comp.subch_id) if comp.subch_id is not None else None
+            ch = receiver.channels.get(comp.subch_id)
+            status = ""
+            label_extra = ""
+            if ch is not None:
+                st = getattr(ch, "stats", {})
+                if comp.is_dab_plus:
+                    status = (f"sf={st.get('superframes', 0)} "
+                              f"fc!{st.get('firecode_errors', 0)} "
+                              f"rs!{st.get('rs_errors', 0)} "
+                              f"au!{st.get('au_errors', 0)}")
+                    hdr = getattr(ch, "last_header", None)
+                    if hdr is not None:
+                        from tpudab.constants.tables import aac_profile_str
+                        label_extra = (f"{hdr.sampling_rate // 1000}kHz "
+                                       f"{aac_profile_str(bool(hdr.sbr_flag), bool(hdr.ps_flag))}")
+                else:
+                    status = (f"fr={st.get('frames', 0)} "
+                              f"sync!{st.get('sync_errors', 0)}")
+                dl = getattr(ch, "dynamic_label", "")
+                if dl:
+                    label_extra += f' "{dl}"'
+            kind = ("DAB+" if comp.is_dab_plus else
+                    "DAB" if comp.is_audio else "data")
+            lines.append(
+                f" 0x{sid:04X} {svc.label:<17}"
+                f"{programme_type_str(svc.programme_type):<15.15}"
+                f"{language_str(svc.language):<10.10}"
+                f"{comp.subch_id if comp.subch_id is not None else '-':>3} "
+                f"{(sub.protection_label if sub else '?'):<8}"
+                f"{(sub.bitrate_kbps if sub else 0) or 0:>4} {kind:<5} "
+                f"{status} {label_extra}")
+    st = receiver.updater.stats
+    lines.append(bar)
+    lines.append(f" DB: total={st.total} completed={st.completed} "
+                 f"pending={st.pending} updates={st.updates} "
+                 f"conflicts={st.conflicts}")
+    slides = []
+    for ch in receiver.channels.values():
+        mgr = getattr(ch, "slideshow", None)
+        if mgr is not None:
+            slides.extend(mgr.slides)
+    if slides:
+        lines.append(f" slideshows: " + ", ".join(
+            f"{s.name or s.transport_id}({s.image_format},{len(s.data)}B)"
+            for s in slides[:6]))
+    if audio is not None:
+        lines.append(f" audio: sink={audio.sink_rate} Hz "
+                     f"gain={audio.global_gain:.2f} "
+                     f"sources={len(audio._sources)}")
+    lines.append(bar)
+    return "\n".join(lines)
+
+
+class Dashboard:
+    """ANSI live view: call update() periodically."""
+
+    def __init__(self, receiver, stats=None, audio=None, out=sys.stdout,
+                 min_interval: float = 0.25):
+        self.receiver = receiver
+        self.stats = stats
+        self.audio = audio
+        self.out = out
+        self.min_interval = min_interval
+        self._last = 0.0
+
+    def update(self, force: bool = False) -> None:
+        now = time.time()
+        if not force and now - self._last < self.min_interval:
+            return
+        self._last = now
+        text = render_text(self.receiver, self.stats, self.audio)
+        self.out.write("\x1b[2J\x1b[H" + text + "\n")
+        self.out.flush()

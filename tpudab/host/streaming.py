@@ -1,0 +1,216 @@
+"""Live streaming radio: native IQ ring -> acquisition -> tracked frame
+batches -> Receiver -> audio pipeline.
+
+Reference parity: the running plugin pipeline (SDR thread -> OFDM ->
+ring buffer -> radio thread -> audio threads, SURVEY.md sec 3.2-3.4). Here a
+single host loop: blocking ring reads (native SPSC buffer), device demod in
+frame batches, per-batch fine-frequency tracking (EMA, the reference's
+fine_freq_update_beta analog), periodic timing re-check against the PRS
+matched filter, and automatic reacquisition on FIB CRC blackout (the
+reference's desync -> FINDING_NULL_POWER_DIP fallback).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+from tpudab.constants.ofdm_params import get_ofdm_params, SAMPLING_RATE
+from tpudab.ofdm.sync import (acquire, SyncConfig, fine_freq_estimate,
+                              fine_time_sync)
+from tpudab.ofdm.demod import demod_frames
+from tpudab.models.receiver import Receiver
+from tpudab.audio.pipeline import AudioPipeline
+
+
+@dataclasses.dataclass
+class StreamingStats:
+    state: str = "ACQUIRING"      # reference OFDM state-machine analog
+    total_frames: int = 0
+    total_frames_desync: int = 0
+    reacquisitions: int = 0
+    net_freq_hz: float = 0.0
+    fine_freq_hz: float = 0.0
+    coarse_freq_hz: float = 0.0
+    timing_adjustments: int = 0
+    signal_power: float = 0.0
+
+
+class StreamingRadio:
+    """Pull IQ from a sample source callable and decode continuously.
+
+    source(n) -> complex64 array of n samples (or fewer at end of stream).
+    Works with tpudab.host.native_lib.RingBuffer.read_complex64 or any file
+    wrapper.
+    """
+
+    def __init__(self, source: Callable[[int], np.ndarray], mode: int = 1,
+                 batch_frames: int = 4, sync_cfg: SyncConfig = SyncConfig(),
+                 receiver: Optional[Receiver] = None,
+                 audio_pipeline: Optional[AudioPipeline] = None,
+                 timing_check_interval: int = 8):
+        self.source = source
+        self.mode = mode
+        self.params = get_ofdm_params(mode)
+        self.batch_frames = batch_frames
+        self.sync_cfg = sync_cfg
+        self.receiver = receiver or Receiver(mode)
+        self.audio = audio_pipeline
+        self.timing_check_interval = timing_check_interval
+        self.stats = StreamingStats()
+        self._residual = np.zeros(0, dtype=np.complex64)
+        self._decoders: Dict[int, object] = {}
+        self._batches = 0
+
+    # ---------------- internals ----------------
+
+    def _fill(self, n: int) -> np.ndarray:
+        """Read until n samples available (or stream end)."""
+        chunks = [self._residual]
+        have = self._residual.shape[0]
+        while have < n:
+            c = self.source(n - have)
+            if c is None or len(c) == 0:
+                break
+            c = np.asarray(c, dtype=np.complex64)
+            chunks.append(c)
+            have += c.shape[0]
+        buf = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+        self._residual = np.zeros(0, dtype=np.complex64)
+        return buf
+
+    def _acquire(self) -> bool:
+        p = self.params
+        self.stats.state = "ACQUIRING"
+        buf = self._fill(3 * p.nb_frame_length)
+        if buf.shape[0] < 2 * p.nb_frame_length:
+            return False
+        res = acquire(buf, self.mode, self.sync_cfg)
+        self.stats.net_freq_hz = res["net_freq_hz"]
+        self.stats.coarse_freq_hz = res["coarse_hz"]
+        self.stats.fine_freq_hz = res["fine_hz"]
+        self._residual = buf[res["frame_start"]:]
+        self.stats.state = "READING_SYMBOLS"
+        return True
+
+    def _timing_recheck(self, frames: np.ndarray) -> int:
+        """PRS matched filter around the nominal position of the last frame;
+        returns a small sample adjustment (clamped)."""
+        p = self.params
+        search = 64
+        frame = frames[-1]
+        seg_start = p.nb_null_period + p.nb_cyclic_prefix - search
+        seg_len = 2 * search + p.nb_fft
+        seg = frame[seg_start : seg_start + seg_len]
+        t = np.arange(seg_len, dtype=np.float32) / SAMPLING_RATE
+        rot = np.exp(-2j * np.pi * self.stats.net_freq_hz * t).astype(np.complex64)
+        peak, q = fine_time_sync(seg * rot, self.mode, search)
+        off = int(peak) - search
+        return int(np.clip(off, -8, 8)) if float(q) > 3.0 else 0
+
+    # ---------------- main loop ----------------
+
+    def run(self, max_batches: Optional[int] = None,
+            on_outputs: Optional[Callable] = None) -> None:
+        p = self.params
+        cfg = self.sync_cfg
+        if not self._acquire():
+            return
+        fib_err_prev = 0
+        while max_batches is None or self._batches < max_batches:
+            need = self.batch_frames * p.nb_frame_length
+            buf = self._fill(need)
+            if buf.shape[0] < p.nb_frame_length:
+                break
+            nf = buf.shape[0] // p.nb_frame_length
+            frames = buf[: nf * p.nb_frame_length].reshape(nf, p.nb_frame_length)
+            self._residual = buf[nf * p.nb_frame_length:]
+
+            soft, stats = demod_frames(frames, self.stats.net_freq_hz,
+                                       self.mode, cfg.window_offset)
+            soft = np.asarray(soft)
+            self.stats.signal_power = float(np.asarray(stats["mean_power"])[-1])
+            outputs = self.receiver.process_frame_bits(soft)
+            self.stats.total_frames += nf
+            self._batches += 1
+
+            # fine-frequency tracking (EMA, reference fine_freq_update_beta)
+            est = float(fine_freq_estimate(
+                frames[-1] * np.exp(
+                    -2j * np.pi * self.stats.coarse_freq_hz
+                    * np.arange(p.nb_frame_length, dtype=np.float32)
+                    / SAMPLING_RATE).astype(np.complex64), self.mode))
+            beta = cfg.fine_freq_beta
+            self.stats.fine_freq_hz = (beta * self.stats.fine_freq_hz
+                                       + (1 - beta) * est)
+            self.stats.net_freq_hz = (self.stats.coarse_freq_hz
+                                      + self.stats.fine_freq_hz)
+
+            # timing drift check
+            if self._batches % self.timing_check_interval == 0:
+                adj = self._timing_recheck(frames)
+                if adj:
+                    self.stats.timing_adjustments += 1
+                    if adj > 0:
+                        self._residual = self._residual[adj:]
+                    else:
+                        pad = frames[-1][adj:]
+                        self._residual = np.concatenate([pad, self._residual])
+
+            # desync detection -> reacquire
+            errs = self.receiver.stats["fib_crc_errors"] - fib_err_prev
+            fib_err_prev = self.receiver.stats["fib_crc_errors"]
+            if errs == nf * self.receiver.dab.nb_fibs:
+                self.stats.total_frames_desync += nf
+                self.stats.reacquisitions += 1
+                if not self._acquire():
+                    break
+                fib_err_prev = self.receiver.stats["fib_crc_errors"]
+
+            # audio fan-out
+            if self.audio is not None:
+                self._render_audio(outputs)
+            if on_outputs is not None:
+                on_outputs(outputs)
+        self.stats.state = "STOPPED"
+
+    def _render_audio(self, outputs) -> None:
+        from tpudab.audio.codecs import (AACDecoder, MP2Decoder,
+                                         aac_decode_available,
+                                         mp2_decode_available)
+        for subch_id, out in outputs.items():
+            src = self.audio.add_source(subch_id)
+            dec = self._decoders.get(subch_id)
+            if out.is_dab_plus:
+                for sf in out.superframes:
+                    if sf.header is None:
+                        continue
+                    if dec is None and aac_decode_available():
+                        dec = self._decoders[subch_id] = AACDecoder(sf.header)
+                    if dec is None:
+                        continue
+                    for au, ok in zip(sf.access_units, sf.au_crc_ok):
+                        if not ok:
+                            continue
+                        try:
+                            pcm = dec.decode(bytes(au))
+                        except ValueError:
+                            continue
+                        if pcm.shape[0]:
+                            src.write(pcm, dec.sample_rate
+                                      or sf.header.sampling_rate)
+            else:
+                if dec is None and mp2_decode_available():
+                    dec = self._decoders[subch_id] = MP2Decoder()
+                if dec is None:
+                    continue
+                for fr in out.mp2_frames:
+                    try:
+                        pcm = dec.decode(fr)
+                    except ValueError:
+                        continue
+                    if pcm.shape[0]:
+                        src.write(pcm, dec.sample_rate or 48000)
