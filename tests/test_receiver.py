@@ -76,3 +76,48 @@ def test_pipeline_noise_only_does_not_crash():
     receiver, acc, stats = decode_iq(noise, batch_frames=2)
     assert receiver.db.ensemble.label == ""
     assert acc == {}
+
+
+def test_packet_data_service_slideshow_end_to_end():
+    """A packet-mode data subchannel carrying an MOT slideshow, through the
+    full chain: synth -> frame bits -> Receiver -> SlideshowManager."""
+    from tpudab.synth import (EnsembleSpec, ServiceSpec, SubchannelSpec,
+                              EnsembleSynthesizer, TMID_PACKET_DATA)
+    from tpudab.mot.mot import MOTObject, build_mot_object_groups, ContentType
+    from tpudab.data.packet import build_packets
+    from tpudab.models.receiver import Receiver, DataPacketChannel
+    from tpudab.utils.bits import bits_to_soft
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, 1200).astype(np.uint8).tobytes()
+    obj = MOTObject(transport_id=42, content_type=ContentType.IMAGE,
+                    content_subtype=1, body=img, content_name="cover.jpg")
+    pkt_stream = b""
+    for g in build_mot_object_groups(obj, segment_size=256):
+        pkt_stream += b"".join(build_packets(2, g, 96))
+
+    bitrate = 32  # EEP 3-A, 24 CU -> 96 bytes per logical frame
+    spec = EnsembleSpec(
+        ensemble_id=0x7777, label="Data Mux",
+        services=[ServiceSpec(0xE100, "Slides", [(TMID_PACKET_DATA, 60, 9)])],
+        subchannels=[SubchannelSpec(9, start_cu=0, size_cu=24,
+                                    protection=("eep", 3, 0))])
+    synth = EnsembleSynthesizer(spec, seed=11)
+    frame_bytes = bitrate * 3
+    n_frames = 10
+    need = (n_frames * 4 + 16) * frame_bytes
+    # pad the packet stream with 24-byte padding packets (addr 0)
+    pad_pkt = build_packets(0, b"", 24)[0]
+    stream = pkt_stream + pad_pkt * ((need - len(pkt_stream)) // 24 + 1)
+    stream = np.frombuffer(stream[:need], np.uint8).reshape(-1, frame_bytes)
+    synth.payload_fn[9] = lambda m: stream[m].tobytes()
+
+    soft = bits_to_soft(np.stack([synth.frame_bits(i) for i in range(n_frames)]))
+    rx = Receiver()
+    rx.process_frame_bits(soft)
+    ch = rx.channels.get(9)
+    assert isinstance(ch, DataPacketChannel)
+    slides = ch.slideshow.slides
+    assert len(slides) == 1
+    assert slides[0].data == img
+    assert slides[0].name == "cover.jpg"

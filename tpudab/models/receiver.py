@@ -26,13 +26,35 @@ from tpudab.audio.mp2 import DABChannel
 
 @dataclasses.dataclass
 class AudioChannelOutput:
-    """Per-frame-batch output for one audio subchannel."""
+    """Per-frame-batch output for one audio/data subchannel."""
 
     subch_id: int
     is_dab_plus: bool
     superframes: List[SuperFrameResult] = dataclasses.field(default_factory=list)
     mp2_frames: List[bytes] = dataclasses.field(default_factory=list)
+    data_groups: List[bytes] = dataclasses.field(default_factory=list)
     raw_frames: Optional[np.ndarray] = None  # decoded logical frames (bytes)
+
+
+class DataPacketChannel:
+    """Packet-mode data subchannel: packets -> MOT -> slideshow.
+
+    Reference parity: Basic_Data_Packet_Channel with a slideshow manager
+    (/root/reference/src/render_radio_block.cpp:22,538-540).
+    """
+
+    def __init__(self, packet_address: Optional[int] = None):
+        from tpudab.data.packet import PacketChannel
+        from tpudab.mot.slideshow import SlideshowManager
+
+        self.slideshow = SlideshowManager()
+        self.packets = PacketChannel(address=packet_address,
+                                     on_data_group=self.slideshow.push_data_group)
+        self.stats = self.packets.stats
+
+    def process_frames(self, frames: np.ndarray) -> List[bytes]:
+        return self.packets.process_bytes(
+            np.asarray(frames, dtype=np.uint8).tobytes())
 
 
 class Receiver:
@@ -83,6 +105,10 @@ class Receiver:
                 self.channel_is_dabplus[comp.subch_id] = is_plus
                 if self.on_audio_channel is not None:
                     self.on_audio_channel(comp.subch_id, ch)
+            elif comp.transport_mode == TransportMode.PACKET_DATA:
+                ch = DataPacketChannel(comp.packet_address)
+                self.channels[comp.subch_id] = ch
+                self.channel_is_dabplus[comp.subch_id] = False
 
     # ---------------- main entry ----------------
 
@@ -118,7 +144,9 @@ class Receiver:
                                      raw_frames=complete)
             ch = self.channels.get(subch_id)
             if ch is not None and self.decode_audio and complete.shape[0]:
-                if is_plus:
+                if isinstance(ch, DataPacketChannel):
+                    out.data_groups = ch.process_frames(complete)
+                elif is_plus:
                     out.superframes = ch.process_frames(complete)
                 else:
                     out.mp2_frames = ch.process_frames(complete)

@@ -173,14 +173,31 @@ class EnsembleSynthesizer:
         w.add(0, bytes(body))
         # FIG 0/2 service organization
         body = bytearray([0x02])
+        packet_comps = []
         for svc in spec.services:
             body += bytes([svc.service_id >> 8, svc.service_id & 0xFF])
             body += bytes([len(svc.components) & 0x0F])
             for (tmid, ty, subch_id) in svc.components:
                 ps, ca = 1, 0  # primary component, no conditional access
-                body += bytes([(tmid << 6) | (ty & 0x3F),
-                               (subch_id << 2) | (ps << 1) | ca])
+                if tmid == TMID_PACKET_DATA:
+                    # SCId == subch_id by synth convention; FIG 0/3 links it
+                    scid = subch_id
+                    body += bytes([(tmid << 6) | ((scid >> 6) & 0x3F),
+                                   ((scid & 0x3F) << 2) | (ps << 1) | ca])
+                    packet_comps.append((scid, ty, subch_id))
+                else:
+                    body += bytes([(tmid << 6) | (ty & 0x3F),
+                                   (subch_id << 2) | (ps << 1) | ca])
         w.add(0, bytes(body))
+        # FIG 0/3 packet-mode component info: SCId -> subchannel + DSCTy
+        if packet_comps:
+            body = bytearray([0x03])
+            for (scid, dscty, subch_id) in packet_comps:
+                dg_flag = 0
+                body += bytes([(scid >> 4) & 0xFF, ((scid & 0x0F) << 4),
+                               (dg_flag << 7) | (dscty & 0x3F),
+                               (subch_id << 2), 0x02])  # packet address 2
+            w.add(0, bytes(body))
         # FIG 0/9 country/LTO/ECC + international table
         w.add(0, bytes([0x09, (0 << 7) | (abs(spec.lto_half_hours) & 0x3F),
                         spec.ecc, spec.inter_table_id]))
