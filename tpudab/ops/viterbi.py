@@ -84,10 +84,13 @@ def viterbi_decode(mother_soft, n_data_bits: int):
         cand1 = jnp.take(pm, pred1, axis=-1) + bm_step[:, N_STATES:]
         dec = cand1 > cand0
         new_pm = jnp.maximum(cand0, cand1)
-        new_pm = new_pm - jnp.max(new_pm, axis=-1, keepdims=True)
+        # rebase on state 0's metric: the metric SPREAD is bounded by the
+        # trellis (<= constraint-length * max branch metric), so this keeps
+        # absolute values bounded without a cross-state max reduction
+        new_pm = new_pm - new_pm[:, 0:1]
         return new_pm, dec
 
-    _, decs = lax.scan(acs, pm0, bm_t)  # decs: (T, B, 64) bool
+    _, decs = lax.scan(acs, pm0, bm_t, unroll=4)  # decs: (T, B, 64) bool
 
     def traceback(state, dec_step):
         bit = (state & 1).astype(jnp.uint8)
@@ -96,7 +99,7 @@ def viterbi_decode(mother_soft, n_data_bits: int):
         return prev, bit
 
     final_state = jnp.zeros((b,), dtype=jnp.int32)
-    _, bits_rev = lax.scan(traceback, final_state, decs, reverse=True)
+    _, bits_rev = lax.scan(traceback, final_state, decs, reverse=True, unroll=4)
     # scan(reverse=True) emits outputs in forward order: bits_rev[t] is the
     # bit decoded at step t.
     bits = jnp.moveaxis(bits_rev, 0, 1)  # (B, T)
@@ -123,7 +126,7 @@ def viterbi_decode_np(mother_soft: np.ndarray, n_data_bits: int) -> np.ndarray:
         cand1 = pm[:, pred1] + bm[:, i, N_STATES:]
         decs[i] = cand1 > cand0
         pm = np.maximum(cand0, cand1)
-        pm -= pm.max(axis=-1, keepdims=True)
+        pm -= pm[:, 0:1]
     state = np.zeros(b, dtype=np.int64)
     bits = np.zeros((b, t), dtype=np.uint8)
     for i in range(t - 1, -1, -1):

@@ -33,29 +33,30 @@ from tpudab.fec.conv import OUTPUT_SIGNS, N_STATES
 _NEG = -1e9
 
 
-def _acs_kernel(soft_ref, signs_ref, dec_ref, pm_out_ref, pm_scratch):
+def _acs_kernel(soft_ref, signs_ref, dec_ref, pm_out_ref, pm_scratch, bm_scratch):
     """Grid over T chunks. soft_ref block: (4, CHUNK, B); dec block
-    (CHUNK, 64, B) f32; pm carried in scratch (64, B)."""
+    (CHUNK, 64, B) f32; pm carried in scratch (64, B); bm staged in scratch
+    (128, CHUNK, B) because Mosaic has no dynamic_slice on values."""
     import jax.experimental.pallas as pl
 
     chunk = soft_ref.shape[1]
     b = soft_ref.shape[2]
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(pl.program_id(1) == 0)
     def _():
         pm_scratch[:] = jnp.full((N_STATES, b), _NEG, dtype=jnp.float32)
         pm_scratch[0:1, :] = jnp.zeros((1, b), dtype=jnp.float32)
 
     # all branch metrics for the chunk: (128, CHUNK*B) on the MXU
     soft_flat = soft_ref[:].reshape(4, chunk * b)
-    bm_all = jax.lax.dot_general(
+    bm_scratch[:] = jax.lax.dot_general(
         signs_ref[:], soft_flat,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).reshape(128, chunk, b)
 
     def body(t, pm):
-        bm_t = bm_all[:, t, :]                      # (128, B)
+        bm_t = bm_scratch[:, pl.ds(t, 1), :][:, 0, :]   # (128, B)
         # bm index reg7 = b6*64 + s' = b6*64 + 2r + u -> (b6, r, u) major
         bm4 = bm_t.reshape(2, 32, 2, b)             # [b6][r][u]
         pm2 = pm.reshape(2, 32, b)                  # [b5][r]
@@ -63,7 +64,7 @@ def _acs_kernel(soft_ref, signs_ref, dec_ref, pm_out_ref, pm_scratch):
         cand1 = pm2[1][:, None, :] + bm4[1]
         dec = (cand1 > cand0)
         new_pm = jnp.maximum(cand0, cand1).reshape(N_STATES, b)
-        dec_ref[t] = dec.reshape(N_STATES, b).astype(jnp.float32)
+        dec_ref[pl.ds(t, 1)] = dec.reshape(1, N_STATES, b).astype(jnp.float32)
         return new_pm
 
     pm = pm_scratch[:]
@@ -84,7 +85,7 @@ def _pad_to(x, m, axis, value):
 
 
 @functools.partial(jax.jit, static_argnames=("n_data_bits", "chunk", "interpret"))
-def viterbi_decode_pallas(mother_soft, n_data_bits: int, chunk: int = 256,
+def viterbi_decode_pallas(mother_soft, n_data_bits: int, chunk: int = 64,
                           interpret: bool = False):
     """Drop-in equivalent of tpudab.ops.viterbi.viterbi_decode.
 
@@ -104,25 +105,33 @@ def viterbi_decode_pallas(mother_soft, n_data_bits: int, chunk: int = 256,
 
     signs = jnp.asarray(OUTPUT_SIGNS)  # (128, 4)
 
+    # grid: (batch tiles of 128 lanes, T chunks); chunk axis iterates fastest
+    # so the pm scratch carries within one batch tile and reinitializes at
+    # chunk 0 of the next.
+    b_tile = 128
+    n_b = b // b_tile
+
     decs, _ = pl.pallas_call(
         _acs_kernel,
-        grid=(n_chunks,),
+        grid=(n_b, n_chunks),
         in_specs=[
-            pl.BlockSpec((4, chunk, b), lambda i: (0, i, 0),
+            pl.BlockSpec((4, chunk, b_tile), lambda j, i: (0, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 4), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((chunk, N_STATES, b), lambda i: (i, 0, 0),
+            pl.BlockSpec((chunk, N_STATES, b_tile), lambda j, i: (i, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((N_STATES, b), lambda i: (0, 0),
+            pl.BlockSpec((N_STATES, b_tile), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t, N_STATES, b), jnp.float32),
             jax.ShapeDtypeStruct((N_STATES, b), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((N_STATES, b), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((N_STATES, b_tile), jnp.float32),
+                        pltpu.VMEM((128, chunk, b_tile), jnp.float32)],
         interpret=interpret,
     )(soft, signs)
 
