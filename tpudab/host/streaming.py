@@ -19,9 +19,10 @@ from typing import Callable, Dict, Optional
 import numpy as np
 
 from tpudab.constants.ofdm_params import get_ofdm_params, SAMPLING_RATE
-from tpudab.ofdm.sync import (acquire, SyncConfig, fine_freq_estimate,
-                              fine_time_sync)
-from tpudab.ofdm.demod import demod_frames
+from tpudab.ofdm.sync import SyncConfig
+from tpudab.ofdm.sync_np import (acquire_np, fine_freq_estimate_np,
+                                 fine_time_sync_np)
+from tpudab.ofdm.demod import demod_frames_split
 from tpudab.models.receiver import Receiver
 from tpudab.audio.pipeline import AudioPipeline
 
@@ -88,7 +89,7 @@ class StreamingRadio:
         buf = self._fill(3 * p.nb_frame_length)
         if buf.shape[0] < 2 * p.nb_frame_length:
             return False
-        res = acquire(buf, self.mode, self.sync_cfg)
+        res = acquire_np(buf, self.mode, self.sync_cfg)
         self.stats.net_freq_hz = res["net_freq_hz"]
         self.stats.coarse_freq_hz = res["coarse_hz"]
         self.stats.fine_freq_hz = res["fine_hz"]
@@ -107,7 +108,7 @@ class StreamingRadio:
         seg = frame[seg_start : seg_start + seg_len]
         t = np.arange(seg_len, dtype=np.float32) / SAMPLING_RATE
         rot = np.exp(-2j * np.pi * self.stats.net_freq_hz * t).astype(np.complex64)
-        peak, q = fine_time_sync(seg * rot, self.mode, search)
+        peak, q = fine_time_sync_np(seg * rot, self.mode, search)
         off = int(peak) - search
         return int(np.clip(off, -8, 8)) if float(q) > 3.0 else 0
 
@@ -129,8 +130,10 @@ class StreamingRadio:
             frames = buf[: nf * p.nb_frame_length].reshape(nf, p.nb_frame_length)
             self._residual = buf[nf * p.nb_frame_length:]
 
-            soft, stats = demod_frames(frames, self.stats.net_freq_hz,
-                                       self.mode, cfg.window_offset)
+            soft, stats = demod_frames_split(
+                np.ascontiguousarray(frames.real, dtype=np.float32),
+                np.ascontiguousarray(frames.imag, dtype=np.float32),
+                self.stats.net_freq_hz, self.mode, cfg.window_offset)
             soft = np.asarray(soft)
             self.stats.signal_power = float(np.asarray(stats["mean_power"])[-1])
             outputs = self.receiver.process_frame_bits(soft)
@@ -138,11 +141,11 @@ class StreamingRadio:
             self._batches += 1
 
             # fine-frequency tracking (EMA, reference fine_freq_update_beta)
-            est = float(fine_freq_estimate(
+            est = fine_freq_estimate_np(
                 frames[-1] * np.exp(
                     -2j * np.pi * self.stats.coarse_freq_hz
                     * np.arange(p.nb_frame_length, dtype=np.float32)
-                    / SAMPLING_RATE).astype(np.complex64), self.mode))
+                    / SAMPLING_RATE).astype(np.complex64), self.mode)
             beta = cfg.fine_freq_beta
             self.stats.fine_freq_hz = (beta * self.stats.fine_freq_hz
                                        + (1 - beta) * est)

@@ -16,8 +16,9 @@ from typing import Dict, Optional
 import numpy as np
 
 from tpudab.constants.ofdm_params import get_ofdm_params
-from tpudab.ofdm.sync import acquire, SyncConfig
-from tpudab.ofdm.demod import demod_frames
+from tpudab.ofdm.sync import SyncConfig
+from tpudab.ofdm.sync_np import acquire_np
+from tpudab.ofdm.demod import demod_frames_split
 from tpudab.models.receiver import Receiver, AudioChannelOutput
 
 
@@ -54,7 +55,7 @@ class OfflinePipeline:
         if n < 2 * p.nb_frame_length:
             raise ValueError("need at least 2 frames of IQ for acquisition")
 
-        res = acquire(iq[: 4 * p.nb_frame_length], self.mode, self.sync_cfg)
+        res = acquire_np(iq[: 4 * p.nb_frame_length], self.mode, self.sync_cfg)
         self.stats.net_freq_hz = res["net_freq_hz"]
         self.stats.frame_start = res["frame_start"]
         start = res["frame_start"]
@@ -67,8 +68,10 @@ class OfflinePipeline:
             if nf == 0:
                 break
             frames = iq[pos : pos + nf * p.nb_frame_length].reshape(nf, p.nb_frame_length)
-            soft, _ = demod_frames(frames, self.stats.net_freq_hz, self.mode,
-                                   self.sync_cfg.window_offset)
+            soft, _ = demod_frames_split(
+                np.ascontiguousarray(frames.real, dtype=np.float32),
+                np.ascontiguousarray(frames.imag, dtype=np.float32),
+                self.stats.net_freq_hz, self.mode, self.sync_cfg.window_offset)
             soft = np.asarray(soft)
             outputs = self.receiver.process_frame_bits(soft)
             self.stats.total_frames += nf
@@ -81,8 +84,8 @@ class OfflinePipeline:
             if errs == batch_fibs and pos + 2 * p.nb_frame_length <= n:
                 self.stats.total_frames_desync += nf
                 self.stats.reacquisitions += 1
-                res = acquire(iq[pos : pos + 4 * p.nb_frame_length], self.mode,
-                              self.sync_cfg)
+                res = acquire_np(iq[pos : pos + 4 * p.nb_frame_length],
+                                 self.mode, self.sync_cfg)
                 pos += res["frame_start"]
                 self.stats.net_freq_hz = res["net_freq_hz"]
 
