@@ -15,8 +15,10 @@ throughput (Mbit/s of decoded payload) and demod-only sample rate.
 """
 
 import json
+import os
 import sys
 import time
+import traceback
 
 import numpy as np
 
@@ -31,7 +33,7 @@ def main():
     from tpudab.constants.ofdm_params import SAMPLING_RATE
 
     dev = jax.devices()[0]
-    n_frames = 16
+    n_frames = int(os.environ.get("TPUDAB_BENCH_FRAMES", "16"))
 
     step = ReceiveStep(mode=1, subchannels=_bench_subchannels())
     carry, frames_re, frames_im, freq = step.example_args(n_frames=n_frames, seed=0)
@@ -69,19 +71,23 @@ def main():
     realtime_factor = samples_per_s / SAMPLING_RATE
 
     # Viterbi microbench: batched codewords, payload Mbit/s
-    b, n_bits = 256, 3072
-    rng = np.random.default_rng(1)
-    soft = jax.device_put(
-        rng.standard_normal((b, n_bits + 6, 4)).astype(np.float32), dev)
-    vsync = lambda bits: float(bits.astype(jnp.float32).sum())
-    vsync(viterbi_decode(soft, n_bits))
-    t0 = time.perf_counter()
-    v_iters = 5
-    for _ in range(v_iters):
-        bits = viterbi_decode(soft, n_bits)
-    vsync(bits)
-    v_dt = time.perf_counter() - t0
-    viterbi_mbit_s = v_iters * b * n_bits / v_dt / 1e6
+    viterbi_mbit_s = -1.0
+    try:
+        b, n_bits = 256, 3072
+        rng = np.random.default_rng(1)
+        soft = jax.device_put(
+            rng.standard_normal((b, n_bits + 6, 4)).astype(np.float32), dev)
+        vsync = lambda bits: float(bits.astype(jnp.float32).sum())
+        vsync(viterbi_decode(soft, n_bits))
+        t0 = time.perf_counter()
+        v_iters = 5
+        for _ in range(v_iters):
+            bits = viterbi_decode(soft, n_bits)
+        vsync(bits)
+        v_dt = time.perf_counter() - t0
+        viterbi_mbit_s = v_iters * b * n_bits / v_dt / 1e6
+    except Exception:
+        traceback.print_exc(file=sys.stderr)
 
     result = {
         "metric": "realtime_factor_per_chip",
@@ -93,8 +99,20 @@ def main():
         "device": str(dev),
         "n_frames_per_step": n_frames,
     }
-    print(json.dumps(result))
+    return result
 
 
 if __name__ == "__main__":
-    main()
+    # Always emit exactly one JSON line, even on a flaky device runtime.
+    try:
+        out = main()
+    except Exception as e:
+        traceback.print_exc(file=sys.stderr)
+        out = {
+            "metric": "realtime_factor_per_chip",
+            "value": 0.0,
+            "unit": "x_realtime_full_ensemble_decode",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {str(e)[:160]}",
+        }
+    print(json.dumps(out))
