@@ -110,3 +110,32 @@ def test_sharded_matches_unsharded_oracle():
         dec = SubchannelDecoder(cfg)
         by, valid, idx = dec.process(sl)
         np.testing.assert_array_equal(sharded[e], by)
+
+
+def test_receive_step_matches_subchannel_decoder():
+    """ReceiveStep (profile-grouped batched Viterbi) == SubchannelDecoder."""
+    from tpudab.models.step import ReceiveStep
+    frames_iq, payload = _make_capture(6, 77)
+    cfg1 = SubchannelConfig(subch_id=1, start_cu=0, size_cu=24,
+                            profile=eep_profile(24, 3, 0))
+    # a second subchannel with identical profile to exercise grouping
+    cfg2 = SubchannelConfig(subch_id=2, start_cu=24, size_cu=24,
+                            profile=eep_profile(24, 3, 0))
+    step = ReceiveStep(mode=1, subchannels=(cfg1, cfg2))
+    carry = step.init_carry()
+    re = np.ascontiguousarray(frames_iq.real, np.float32)
+    im = np.ascontiguousarray(frames_iq.imag, np.float32)
+    carry, out = step(carry, re, im, np.float32(0.0))
+
+    soft, _ = demod_frames(frames_iq, 0.0)
+    soft = np.asarray(soft)
+    dab = get_dab_params(1)
+    cifs = soft[:, dab.nb_fic_bits:].reshape(-1, 55296)
+    for cfg in (cfg1, cfg2):
+        dec = SubchannelDecoder(cfg)
+        by, valid, idx = dec.process(cifs[:, cfg.start_cu * 64 :
+                                          cfg.start_cu * 64 + cfg.slice_bits])
+        np.testing.assert_array_equal(np.asarray(out["subch"][cfg.subch_id]), by)
+    # subchannel 1 carries known payload: rows 15+ decode it exactly
+    got = np.asarray(out["subch"][1])[15:]
+    np.testing.assert_array_equal(got, payload[: got.shape[0]])

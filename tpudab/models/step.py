@@ -86,26 +86,39 @@ class ReceiveStep:
         fic_bytes = _descramble_pack(fic_bits, n_bits)
 
         # ---- MSC ----
+        # Subchannels with identical coding geometry (profile + size) batch
+        # into ONE Viterbi call: per-chip throughput scales with batch, not
+        # with per-trellis speed (SURVEY.md sec 7 'Hard parts': lane-pack
+        # subchannels).
         cifs = soft[:, dab.nb_fic_bits:].reshape(f * dab.nb_cifs, CIF_BITS)
         new_carry = dict(carry)
         subch_out = {}
+        groups: Dict[tuple, list] = {}
         for cfg in self.subchannels:
-            lo = cfg.start_cu * CU_BITS
-            sl = jax.lax.slice_in_dim(cifs, lo, lo + cfg.slice_bits, axis=1)
-            hist = carry[f"deint_{cfg.subch_id}"]
-            buf = jnp.concatenate([hist, sl], axis=0)
-            c = sl.shape[0]
-            d = jnp.asarray(interleave_delays(cfg.slice_bits)[None, :], jnp.int32)
-            rows = jnp.arange(c, dtype=jnp.int32)[:, None] + d
-            cols = jnp.arange(cfg.slice_bits, dtype=jnp.int32)[None, :]
-            logical = buf[rows, cols]
-            new_carry[f"deint_{cfg.subch_id}"] = buf[-(TIME_INTERLEAVE_DEPTH - 1):]
-
-            body = logical[:, : cfg.slice_bits - cfg.padding_bits] \
-                if cfg.padding_bits else logical
-            mother = depuncture(body, cfg.profile).reshape(c, cfg.data_bits + 6, 4)
-            bits = viterbi_decode(mother, cfg.data_bits)
-            subch_out[cfg.subch_id] = _descramble_pack(bits, cfg.data_bits)
+            key = (cfg.profile, cfg.slice_bits, cfg.padding_bits)
+            groups.setdefault(key, []).append(cfg)
+        for (profile, slice_bits, padding_bits), cfgs in groups.items():
+            c = cifs.shape[0]
+            logicals = []
+            for cfg in cfgs:
+                lo = cfg.start_cu * CU_BITS
+                sl = jax.lax.slice_in_dim(cifs, lo, lo + cfg.slice_bits, axis=1)
+                hist = carry[f"deint_{cfg.subch_id}"]
+                buf = jnp.concatenate([hist, sl], axis=0)
+                d = jnp.asarray(interleave_delays(cfg.slice_bits)[None, :], jnp.int32)
+                rows = jnp.arange(c, dtype=jnp.int32)[:, None] + d
+                cols = jnp.arange(cfg.slice_bits, dtype=jnp.int32)[None, :]
+                logicals.append(buf[rows, cols])
+                new_carry[f"deint_{cfg.subch_id}"] = buf[-(TIME_INTERLEAVE_DEPTH - 1):]
+            logical = jnp.concatenate(logicals, axis=0)  # (n_sub * C, slice)
+            body = logical[:, : slice_bits - padding_bits] \
+                if padding_bits else logical
+            n_bits = profile.data_bits
+            mother = depuncture(body, profile).reshape(-1, n_bits + 6, 4)
+            bits = viterbi_decode(mother, n_bits)
+            by = _descramble_pack(bits, n_bits).reshape(len(cfgs), c, -1)
+            for i, cfg in enumerate(cfgs):
+                subch_out[cfg.subch_id] = by[i]
 
         outputs = {"fic_bytes": fic_bytes, "subch": subch_out,
                    "mean_power": stats["mean_power"]}
