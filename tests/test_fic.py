@@ -86,3 +86,30 @@ def test_full_chain_to_database(synth_frames):
     assert comps2[0].is_dab_plus is False
     assert upd.stats.total >= 7
     assert upd.stats.completed >= 7
+
+
+def test_fm_drm_linkage_to_database():
+    """FIG 0/6 service linkage + FIG 0/21 frequency info -> FM/DRM services
+    (reference parity: linked-FM/DRM tables with frequencies,
+    render_radio_block.cpp:490-752)."""
+    from tpudab.synth.ensemble import FMLinkSpec, DRMLinkSpec
+    spec = make_spec()
+    spec.fm_links = [FMLinkSpec(service_id=0xC221, rds_pi=0xC479,
+                                frequencies_hz=[95_800_000, 102_200_000])]
+    spec.drm_links = [DRMLinkSpec(service_id=0xC222, drm_id=0x00A7,
+                                  frequencies_hz=[6_095_000])]
+    synth = EnsembleSynthesizer(spec, seed=8)
+    bits = synth.frame_bits(0)
+    soft = (1.0 - 2.0 * bits[:9216].astype(np.float32))
+    fibs, ok = decode_fic_frame(soft)
+    assert ok.all()
+    upd = DatabaseUpdater()
+    for fib in fibs:
+        upd.process_events(parse_fib(fib))
+    db = upd.db
+    assert 0xC479 in db.fm_services
+    assert db.fm_services[0xC479].frequencies == [95_800_000, 102_200_000]
+    assert 0x00A7 in db.drm_services
+    assert db.drm_services[0x00A7].frequencies == [6_095_000]
+    assert 1 in db.link_services and 2 in db.link_services
+    assert db.link_services[1].active

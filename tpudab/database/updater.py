@@ -261,7 +261,7 @@ class DatabaseUpdater:
                 self.db.fm_services[pi] = FMService(rds_pi=pi)
             self.db.fm_services[pi].frequencies = d.get("frequencies", [])
         elif rm == 6:
-            drm_id = d.get("drm_id", d["id"])
+            drm_id = d["id"]  # 16-bit id field keys the entity (matches 0/6)
             if drm_id not in self.db.drm_services:
                 self.db.drm_services[drm_id] = DRMService(drm_id=drm_id)
             self.db.drm_services[drm_id].frequencies = d.get("frequencies", [])

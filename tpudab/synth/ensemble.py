@@ -78,6 +78,24 @@ class ServiceSpec:
 
 
 @dataclasses.dataclass
+class FMLinkSpec:
+    """Linked FM service (RDS PI + frequency list) for FIG 0/6 + 0/21."""
+
+    service_id: int         # DAB service the FM service is linked to
+    rds_pi: int
+    frequencies_hz: list    # FM frequencies
+    link_session: int = 1
+
+
+@dataclasses.dataclass
+class DRMLinkSpec:
+    service_id: int
+    drm_id: int
+    frequencies_hz: list
+    link_session: int = 2
+
+
+@dataclasses.dataclass
 class EnsembleSpec:
     ensemble_id: int
     label: str
@@ -86,6 +104,8 @@ class EnsembleSpec:
     ecc: int = 0xE1
     lto_half_hours: int = 0
     inter_table_id: int = 1
+    fm_links: list = dataclasses.field(default_factory=list)
+    drm_links: list = dataclasses.field(default_factory=list)
 
 
 def _label16(s: str) -> bytes:
@@ -205,6 +225,38 @@ class EnsembleSynthesizer:
         for svc in spec.services:
             w.add(0, bytes([0x11, svc.service_id >> 8, svc.service_id & 0xFF,
                             0b00000000, svc.programme_type & 0x1F]))
+        # FIG 0/6 service linkage + FIG 0/21 frequency info (FM/DRM links)
+        for link in spec.fm_links:
+            lsn = link.link_session
+            b0 = (1 << 7) | (1 << 6) | (0 << 5) | (0 << 4) | ((lsn >> 8) & 0x0F)
+            body = bytes([0x06, b0, lsn & 0xFF,
+                          (1 << 5) | 1,  # IdLQ=1 (RDS PI), 1 id
+                          link.rds_pi >> 8, link.rds_pi & 0xFF])
+            w.add(0, body)
+            fi = bytearray()
+            n_freq = len(link.frequencies_hz)
+            fi += bytes([link.rds_pi >> 8, link.rds_pi & 0xFF,
+                         (8 << 4) | n_freq])  # R&M=8 (FM w/ RDS)
+            for f_hz in link.frequencies_hz:
+                fi.append(round((f_hz - 87_500_000) / 100_000))
+            body = bytes([0x15, 0x00, len(fi) & 0x1F]) + bytes(fi)
+            w.add(0, body)
+        for link in spec.drm_links:
+            lsn = link.link_session
+            b0 = (1 << 7) | (1 << 6) | (0 << 5) | (0 << 4) | ((lsn >> 8) & 0x0F)
+            body = bytes([0x06, b0, lsn & 0xFF,
+                          (2 << 5) | 1,  # IdLQ=2 (DRM), 1 id
+                          link.drm_id >> 8, link.drm_id & 0xFF])
+            w.add(0, body)
+            fi = bytearray()
+            nb = 1 + 2 * len(link.frequencies_hz)
+            fi += bytes([link.drm_id >> 8, link.drm_id & 0xFF, (6 << 4) | nb,
+                         link.drm_id & 0xFF])
+            for f_hz in link.frequencies_hz:
+                khz = f_hz // 1000
+                fi += bytes([(khz >> 8) & 0x7F, khz & 0xFF])
+            body = bytes([0x15, 0x00, len(fi) & 0x1F]) + bytes(fi)
+            w.add(0, body)
         # FIG 1/0 ensemble label
         w.add(1, bytes([0x00, spec.ensemble_id >> 8, spec.ensemble_id & 0xFF])
               + _label16(spec.label) + b"\x00\x00")
