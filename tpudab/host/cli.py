@@ -199,6 +199,45 @@ def cmd_synth(args) -> int:
     return 0
 
 
+def cmd_stream(args) -> int:
+    """Live pipeline: native reader thread -> ring -> StreamingRadio ->
+    audio mix (+ optional WAV) with the ANSI dashboard."""
+    from tpudab.host.native_lib import IQReader
+    from tpudab.host.streaming import StreamingRadio
+    from tpudab.host.dashboard import Dashboard
+    from tpudab.audio.pipeline import AudioPipeline, WavSink
+
+    reader = IQReader(args.path, fmt=args.format)
+    audio = AudioPipeline(48_000)
+    wav = WavSink(args.wav, 48_000) if args.wav else None
+    radio = StreamingRadio(reader.ring.read_complex64, mode=args.mode,
+                           batch_frames=args.batch_frames,
+                           audio_pipeline=audio)
+    dash = None if args.no_dashboard else Dashboard(radio.receiver,
+                                                    radio.stats, audio)
+
+    def on_outputs(outputs):
+        mixed = audio.mix(int(48_000 * 0.096 * args.batch_frames))
+        if wav is not None:
+            wav.write(mixed)
+        if dash is not None:
+            dash.update()
+
+    try:
+        radio.run(on_outputs=on_outputs)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        reader.ring.close()
+        if wav is not None:
+            wav.close()
+    if dash is not None:
+        dash.update(force=True)
+    print(f"\nstopped: {radio.stats.total_frames} frames, "
+          f"{radio.stats.reacquisitions} reacquisitions")
+    return 0
+
+
 def cmd_info(args) -> int:
     from tpudab.ofdm.sync import acquire
     iq = _load_iq(args.path, args.format)
@@ -232,6 +271,15 @@ def main(argv=None) -> int:
     i.add_argument("path")
     i.add_argument("--format", choices=["u8", "s8", "s16", "f32"], default="f32")
     i.set_defaults(fn=cmd_info)
+
+    st = sub.add_parser("stream", help="streaming decode with live dashboard")
+    st.add_argument("path", help="IQ file or '-' for stdin")
+    st.add_argument("--format", choices=["u8", "s8", "s16", "f32"], default="f32")
+    st.add_argument("--mode", type=int, default=1)
+    st.add_argument("--batch-frames", type=int, default=4)
+    st.add_argument("--wav", default=None, help="write mixed audio to WAV")
+    st.add_argument("--no-dashboard", action="store_true")
+    st.set_defaults(fn=cmd_stream)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -140,15 +140,16 @@ class StreamingRadio:
             self.stats.total_frames += nf
             self._batches += 1
 
-            # fine-frequency tracking (EMA, reference fine_freq_update_beta)
-            est = fine_freq_estimate_np(
+            # fine-frequency tracking: estimate the small RESIDUAL after full
+            # net correction (avoids +/-half-carrier wrap at the boundary),
+            # EMA'd with the reference's fine_freq_update_beta analog
+            resid = fine_freq_estimate_np(
                 frames[-1] * np.exp(
-                    -2j * np.pi * self.stats.coarse_freq_hz
+                    -2j * np.pi * self.stats.net_freq_hz
                     * np.arange(p.nb_frame_length, dtype=np.float32)
                     / SAMPLING_RATE).astype(np.complex64), self.mode)
             beta = cfg.fine_freq_beta
-            self.stats.fine_freq_hz = (beta * self.stats.fine_freq_hz
-                                       + (1 - beta) * est)
+            self.stats.fine_freq_hz += (1 - beta) * resid
             self.stats.net_freq_hz = (self.stats.coarse_freq_hz
                                       + self.stats.fine_freq_hz)
 

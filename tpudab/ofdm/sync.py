@@ -214,8 +214,12 @@ def acquire(buffer: np.ndarray, mode: int = 1, cfg: SyncConfig = SyncConfig()):
     # 2. fractional CFO, alignment-free (lag-Tu autocorrelation)
     fine_hz = float(fine_freq_autocorr(buffer[: 2 * p.nb_frame_length], mode))
 
-    # 3. integer-bin CFO from a roughly PRS-aligned FFT window
-    window = jax.lax.dynamic_slice(buffer, (approx_prs,), (p.nb_fft,))
+    # 3. integer-bin CFO from a roughly PRS-aligned FFT window, AFTER
+    # removing the fractional part (avoids the half-carrier ambiguity:
+    # a true offset of 1.5 bins must not resolve to coarse=1, fine=-0.5)
+    tw = jnp.arange(p.nb_fft, dtype=jnp.float32) / SAMPLING_RATE
+    window = jax.lax.dynamic_slice(buffer, (approx_prs,), (p.nb_fft,)) \
+        * jnp.exp(-2j * jnp.pi * fine_hz * tw).astype(jnp.complex64)
     coarse_bins, coarse_q = coarse_freq_estimate(window, mode, cfg.max_coarse_bins)
     coarse_hz = float(coarse_bins) * carrier_spacing_hz(mode)
     net_hz = coarse_hz + fine_hz
@@ -235,7 +239,6 @@ def acquire(buffer: np.ndarray, mode: int = 1, cfg: SyncConfig = SyncConfig()):
     #    aligned frame
     prs_body = frame_start + p.nb_null_period + p.nb_cyclic_prefix
     if prs_body + p.nb_fft <= buffer.shape[0]:
-        tw = jnp.arange(p.nb_fft, dtype=jnp.float32) / SAMPLING_RATE
         window2 = jax.lax.dynamic_slice(buffer, (prs_body,), (p.nb_fft,)) \
             * jnp.exp(-2j * jnp.pi * fine_hz * tw).astype(jnp.complex64)
         coarse2, coarse_q2 = coarse_freq_estimate(window2, mode, cfg.max_coarse_bins)
@@ -250,10 +253,11 @@ def acquire(buffer: np.ndarray, mode: int = 1, cfg: SyncConfig = SyncConfig()):
                 frame_start += p.nb_frame_length
         coarse_q = max(float(coarse_q), float(coarse_q2))
     if frame_start + p.nb_frame_length <= buffer.shape[0]:
+        # small residual after FULL net correction (never re-wrapping)
         frame1 = jax.lax.dynamic_slice(buffer, (frame_start,), (p.nb_frame_length,))
         tf = jnp.arange(p.nb_frame_length, dtype=jnp.float32) / SAMPLING_RATE
-        frame1_c = frame1 * jnp.exp(-2j * jnp.pi * coarse_hz * tf).astype(jnp.complex64)
-        fine_hz = float(fine_freq_estimate(frame1_c, mode))
+        frame1_c = frame1 * jnp.exp(-2j * jnp.pi * net_hz * tf).astype(jnp.complex64)
+        fine_hz += float(fine_freq_estimate(frame1_c, mode))
         net_hz = coarse_hz + fine_hz
 
     return {

@@ -112,17 +112,25 @@ def acquire_np(buffer: np.ndarray, mode: int = 1,
     buffer = np.asarray(buffer)
     assert buffer.shape[0] >= 2 * p.nb_frame_length
 
+    # 1. rough frame position
     null_start, null_q = estimate_null_start_np(buffer, mode)
     null_end = estimate_null_end_np(buffer, null_start, mode)
     approx_prs = null_end + p.nb_cyclic_prefix
 
+    # 2. fractional CFO first (alignment-free); removing it BEFORE the coarse
+    # estimate avoids the half-carrier ambiguity (e.g. a true offset of
+    # 1.5 bins must not resolve to coarse=1, fine=-0.5 bins)
     fine_hz = fine_freq_autocorr_np(buffer[: 2 * p.nb_frame_length], mode)
 
-    window = buffer[approx_prs : approx_prs + p.nb_fft]
+    # 3. integer-bin CFO on the fine-corrected PRS window
+    tw = np.arange(p.nb_fft, dtype=np.float64) / SAMPLING_RATE
+    window = buffer[approx_prs : approx_prs + p.nb_fft] \
+        * np.exp(-2j * np.pi * fine_hz * tw)
     coarse_bins, coarse_q = coarse_freq_estimate_np(window, mode, cfg.max_coarse_bins)
     coarse_hz = coarse_bins * carrier_spacing_hz(mode)
     net_hz = coarse_hz + fine_hz
 
+    # 4. exact timing via the global PRS matched filter
     n_corr = p.nb_frame_length + p.nb_fft
     t = np.arange(n_corr, dtype=np.float64) / SAMPLING_RATE
     seg_c = buffer[:n_corr] * np.exp(-2j * np.pi * net_hz * t)
@@ -131,9 +139,10 @@ def acquire_np(buffer: np.ndarray, mode: int = 1,
     if frame_start < 0:
         frame_start += p.nb_frame_length
 
+    # 5. refine: coarse again at the exact PRS position, then the small
+    # fine RESIDUAL after full net correction (never re-wrapping)
     prs_body = frame_start + p.nb_null_period + p.nb_cyclic_prefix
     if prs_body + p.nb_fft <= buffer.shape[0]:
-        tw = np.arange(p.nb_fft, dtype=np.float64) / SAMPLING_RATE
         window2 = buffer[prs_body : prs_body + p.nb_fft] \
             * np.exp(-2j * np.pi * fine_hz * tw)
         coarse2, coarse_q2 = coarse_freq_estimate_np(window2, mode, cfg.max_coarse_bins)
@@ -150,8 +159,8 @@ def acquire_np(buffer: np.ndarray, mode: int = 1,
     if frame_start + p.nb_frame_length <= buffer.shape[0]:
         tf = np.arange(p.nb_frame_length, dtype=np.float64) / SAMPLING_RATE
         frame1 = buffer[frame_start : frame_start + p.nb_frame_length] \
-            * np.exp(-2j * np.pi * coarse_hz * tf)
-        fine_hz = fine_freq_estimate_np(frame1, mode)
+            * np.exp(-2j * np.pi * net_hz * tf)
+        fine_hz += fine_freq_estimate_np(frame1, mode)
         net_hz = coarse_hz + fine_hz
 
     return {
