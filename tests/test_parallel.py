@@ -49,7 +49,7 @@ def test_sharded_step_bit_exact_across_seams():
     n_dev = jax.device_count()
     assert n_dev == 8, "tests expect the 8-device virtual CPU mesh"
     mesh = make_mesh(8)  # (ensemble=4, time=2)
-    n_ens, t_shard = 4, 4
+    n_ens, t_shard = 4, 8
     t_total = 2 * t_shard
 
     captures = [_make_capture(t_total, s) for s in range(n_ens)]
@@ -77,12 +77,20 @@ def test_sharded_step_bit_exact_across_seams():
         want = payloads[e][: n_cifs - 15]
         np.testing.assert_array_equal(got, want)
 
-    # streaming continuation: second step call must continue seamlessly
-    captures2 = [_make_capture(t_total, s) for s in range(n_ens)]
-    # NOTE: new synthesizers restart their interleaver history, so instead
-    # reuse the same capture — the point is carry shape/flow, checked below.
-    carry2, out2 = step(carry, fr, fi, fq)
-    assert np.asarray(out2["subch"][1]).shape == subch.shape
+    # streaming continuation: feeding the capture as two chained step calls
+    # must reproduce the single-call outputs bit-exactly (step-level carry
+    # crosses the call boundary)
+    half = t_total // 2
+    carry_s = step.init_carry(n_ens)
+    fr_a, fi_a, fq_a = step.shard_inputs(
+        np.stack([c[0] for c in captures])[:, :half], np.zeros(n_ens, np.float32))
+    fr_b, fi_b, _ = step.shard_inputs(
+        np.stack([c[0] for c in captures])[:, half:], np.zeros(n_ens, np.float32))
+    carry_s, out_a = step(carry_s, fr_a, fi_a, fq_a)
+    carry_s, out_b = step(carry_s, fr_b, fi_b, fq_a)
+    two_call = np.concatenate([np.asarray(out_a["subch"][1]),
+                               np.asarray(out_b["subch"][1])], axis=1)
+    np.testing.assert_array_equal(two_call, subch)
 
 
 @pytest.mark.slow

@@ -92,6 +92,10 @@ class ShardedReceiveStep:
         """
         p, dab = self.params, self.dab
         e_l, t_l, _ = frames_re.shape
+        assert t_l * dab.nb_cifs >= _H, (
+            f"need >= {-(-_H // dab.nb_cifs)} frames per time shard so the "
+            f"15-CIF deinterleaver halo fits in one neighbor exchange "
+            f"(got {t_l})")
         t_idx = lax.axis_index("time")
 
         flat_re = frames_re.reshape(e_l * t_l, p.nb_frame_length)
