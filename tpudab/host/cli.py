@@ -78,7 +78,30 @@ def cmd_decode(args) -> int:
     if args.out_dir:
         os.makedirs(args.out_dir, exist_ok=True)
         _dump_audio(receiver, acc, args.out_dir)
+        _dump_slides_and_labels(receiver, args.out_dir)
     return 0
+
+
+def _dump_slides_and_labels(receiver, out_dir: str) -> None:
+    """Save decoded slideshow images and dynamic labels (texture-loader
+    parity: the reference uploads PNG/JPEG slides to GL textures;
+    here they land as files)."""
+    ext = {0: "gif", 1: "jpg", 2: "bmp", 3: "png"}
+    for subch_id, ch in receiver.channels.items():
+        mgr = getattr(ch, "slideshow", None)
+        if mgr is not None:
+            for slide in mgr.slides:
+                name = slide.name or f"slide_{slide.transport_id}"
+                name = name.replace("/", "_")
+                if "." not in name:
+                    name += "." + ext.get(slide.subtype, "bin")
+                path = os.path.join(out_dir, f"subch{subch_id}_{name}")
+                with open(path, "wb") as f:
+                    f.write(slide.data)
+                print(f"subch {subch_id}: slideshow -> {path}")
+        dl = getattr(ch, "dynamic_label", "")
+        if dl:
+            print(f"subch {subch_id}: dynamic label: {dl!r}")
 
 
 def _dump_audio(receiver, acc: Dict, out_dir: str) -> None:
