@@ -125,8 +125,14 @@ def _dump_audio(receiver, acc: Dict, out_dir: str) -> None:
             if header is not None and aac_decode_available():
                 try:
                     dec = AACDecoder(header)
-                    pcm = [dec.decode(bytes(au)) for au in aus]
-                    pcm = [p for p in pcm if p.shape[0]]
+                    pcm = []
+                    for au in aus:
+                        try:
+                            p = dec.decode(bytes(au))
+                        except ValueError:
+                            continue  # skip undecodable AUs, keep the stream
+                        if p.shape[0]:
+                            pcm.append(p)
                     if pcm:
                         wav = WavFromPCM(os.path.join(out_dir, f"subch{subch_id}.wav"),
                                          dec.sample_rate or header.sampling_rate)
@@ -177,36 +183,114 @@ class WavFromPCM:
         self._w.close()
 
 
-def cmd_synth(args) -> int:
-    from tpudab.synth import (EnsembleSpec, ServiceSpec, SubchannelSpec,
-                              EnsembleSynthesizer, ASCTY_DAB)
-    from tpudab.synth.modulator import Impairments, apply_impairments
+def _mp2_tone_stream(bitrate: int, n_logical: int) -> np.ndarray:
     from tpudab.audio.codecs import MP2Encoder
 
-    n_frames = max(2, int(args.seconds / 0.096))
-    bitrate = 128
-    spec = EnsembleSpec(
-        ensemble_id=0xCE15, label="TPU DAB Demo",
-        services=[ServiceSpec(0xC221, "Tone Radio", [(0, ASCTY_DAB, 1)],
-                              programme_type=10)],
-        subchannels=[SubchannelSpec(1, start_cu=0, size_cu=96,
-                                    protection=("uep", bitrate, 3))])
-    synth = EnsembleSynthesizer(spec, seed=1)
-
     enc = MP2Encoder(48000, 2, bitrate)
-    n_logical = n_frames * 4 + 20
-    need_mp2 = n_logical * bitrate * 3
+    need = n_logical * bitrate * 3
     pcm_t = np.arange(enc.frame_size)
     packets = b""
     phase = 0.0
-    while len(packets) < need_mp2:
+    while len(packets) < need:
         f_hz = 440.0 * (1 + 0.5 * np.sin(phase / 40))
         tone = (9000 * np.sin(2 * np.pi * f_hz * pcm_t / 48000)).astype(np.int16)
         packets += enc.encode(np.stack([tone, tone], axis=1))
         phase += 1
-    stream = np.frombuffer(packets[:need_mp2], dtype=np.uint8).reshape(
+    return np.frombuffer(packets[:need], dtype=np.uint8).reshape(
         n_logical, bitrate * 3)
-    synth.payload_fn[1] = lambda m: stream[m].tobytes()
+
+
+# a tiny valid 4x4 red PNG for the demo slideshow
+_DEMO_PNG = bytes.fromhex(
+    "89504e470d0a1a0a0000000d49484452000000040000000408020000002"
+    "6934f7c0000001549444154789c62f8cfc0f09f81818181010404000efe"
+    "02fe5f3bafb60000000049454e44ae426082")
+
+
+def _dabplus_stream(bitrate: int, n_logical: int) -> np.ndarray:
+    """DAB+ superframe stream: real AAC (native encoder) + PAD DSE carrying
+    a dynamic label and a small PNG slideshow."""
+    from tpudab.audio.codecs import _ShimEncoder
+    from tpudab.audio.superframe import (SuperFrameHeader, build_superframe,
+                                         header_size_bytes,
+                                         FRAMES_PER_SUPERFRAME)
+    from tpudab.pad.xpad import (build_xpad_into_au,
+                                 build_dynamic_label_segments,
+                                 APP_DYNAMIC_LABEL_START, APP_MOT_START,
+                                 APP_MOT_CONT)
+    from tpudab.mot.mot import MOTObject, build_mot_object_groups, ContentType
+
+    hdr = SuperFrameHeader(dac_rate=1, sbr_flag=0, aac_channel_mode=1,
+                           ps_flag=0, mpeg_surround=0)
+    enc = _ShimEncoder("aac", 48000, 2, 64_000)
+    pcm_t = np.arange(enc.frame_size)
+
+    # PAD event queue: dynamic label then a slideshow object, then repeat
+    label_segs = build_dynamic_label_segments("tpudab demo - Now Playing: Chirp")
+    obj = MOTObject(transport_id=1, content_type=ContentType.IMAGE,
+                    content_subtype=3, body=_DEMO_PNG, content_name="demo.png")
+    pad_events = [[(APP_DYNAMIC_LABEL_START, s)] for s in label_segs]
+    for g in build_mot_object_groups(obj, segment_size=128):
+        framed = bytes([(len(g) >> 8) & 0x3F, len(g) & 0xFF]) + g
+        parts = [framed[i:i + 48] for i in range(0, len(framed), 48)]
+        pad_events.extend([(APP_MOT_START if j == 0 else APP_MOT_CONT, p)]
+                          for j, p in enumerate(parts))
+    ev = 0
+
+    n_sf = n_logical // FRAMES_PER_SUPERFRAME + 1
+    avail = 110 * bitrate // 8 - header_size_bytes(hdr.num_aus)
+    frames = []
+    phase = 0.0
+    for _ in range(n_sf):
+        aus = []
+        for _ in range(hdr.num_aus):
+            f_hz = 550.0 * (1 + 0.4 * np.sin(phase / 25))
+            tone = (8000 * np.sin(2 * np.pi * f_hz * pcm_t / 48000)).astype(np.int16)
+            pkt = enc.encode(np.stack([tone, tone], axis=1))
+            phase += 1
+            dse = build_xpad_into_au(b"", pad_events[ev % len(pad_events)])
+            ev += 1
+            aus.append((dse, pkt))
+        # VBR overflow safety: drop PAD DSEs (never truncate AAC payloads)
+        with_pad = [d + p for d, p in aus]
+        if sum(len(a) + 2 for a in with_pad) > avail:
+            with_pad = [p for _, p in aus]
+        aus = with_pad
+        slack = avail - sum(len(a) + 2 for a in aus)
+        aus[-1] = aus[-1] + b"\x00" * max(slack, 0)
+        frames.append(build_superframe(hdr, aus, bitrate))
+    stream = np.concatenate(frames).reshape(-1, bitrate * 3)
+    return stream[:n_logical]
+
+
+def cmd_synth(args) -> int:
+    from tpudab.synth import (EnsembleSpec, ServiceSpec, SubchannelSpec,
+                              EnsembleSynthesizer, ASCTY_DAB, ASCTY_DAB_PLUS)
+    from tpudab.synth.modulator import Impairments, apply_impairments
+
+    n_frames = max(2, int(args.seconds / 0.096))
+    n_logical = n_frames * 4 + 20
+    mp2_rate = 128
+    plus_rate = 96  # EEP 3-A, 72 CU
+    spec = EnsembleSpec(
+        ensemble_id=0xCE15, label="TPU DAB Demo",
+        services=[
+            ServiceSpec(0xC221, "Tone Radio", [(0, ASCTY_DAB, 1)],
+                        programme_type=10),
+            ServiceSpec(0xC222, "Chirp DAB+", [(0, ASCTY_DAB_PLUS, 2)],
+                        programme_type=12),
+        ],
+        subchannels=[
+            SubchannelSpec(1, start_cu=0, size_cu=96,
+                           protection=("uep", mp2_rate, 3)),
+            SubchannelSpec(2, start_cu=96, size_cu=72,
+                           protection=("eep", 3, 0)),
+        ])
+    synth = EnsembleSynthesizer(spec, seed=1)
+    mp2 = _mp2_tone_stream(mp2_rate, n_logical)
+    plus = _dabplus_stream(plus_rate, n_logical)
+    synth.payload_fn[1] = lambda m: mp2[m].tobytes()
+    synth.payload_fn[2] = lambda m: plus[m].tobytes()
 
     from tpudab.synth.modulator import modulate_frame_bits
     iq = np.concatenate([modulate_frame_bits(synth.frame_bits(i))
