@@ -153,6 +153,49 @@ class Receiver:
             outputs[subch_id] = out
         return outputs
 
+    # ---------------- device-step integration ----------------
+
+    def process_step_outputs(self, fic_group_bytes: np.ndarray,
+                             subch_bytes: Dict[int, np.ndarray],
+                             first_logical: Dict[int, int],
+                             ) -> Dict[int, AudioChannelOutput]:
+        """Consume outputs of a jitted ReceiveStep (device FIC/MSC decode).
+
+        fic_group_bytes: (n_groups_total, group_bytes) decoded FIC groups;
+        subch_bytes: {subch_id: (C, frame_bytes)} logical frames whose row 0
+        is logical index first_logical[subch_id] (negative rows = warm-up,
+        dropped here).
+        """
+        from tpudab.fec.crc import check_fib_crc
+
+        fibs = np.asarray(fic_group_bytes).reshape(-1, 32)
+        ok = check_fib_crc(fibs)
+        self.stats["fibs"] += fibs.shape[0]
+        self.stats["fib_crc_errors"] += int((~ok).sum())
+        for fib, good in zip(fibs, ok):
+            if good:
+                self.updater.process_events(parse_fib(fib))
+        self._refresh_channels()
+
+        outputs: Dict[int, AudioChannelOutput] = {}
+        for subch_id, by in subch_bytes.items():
+            by = np.asarray(by)
+            lo = first_logical.get(subch_id, 0)
+            complete = by[max(-lo, 0):]
+            is_plus = self.channel_is_dabplus.get(subch_id, True)
+            out = AudioChannelOutput(subch_id=subch_id, is_dab_plus=is_plus,
+                                     raw_frames=complete)
+            ch = self.channels.get(subch_id)
+            if ch is not None and self.decode_audio and complete.shape[0]:
+                if isinstance(ch, DataPacketChannel):
+                    out.data_groups = ch.process_frames(complete)
+                elif is_plus:
+                    out.superframes = ch.process_frames(complete)
+                else:
+                    out.mp2_frames = ch.process_frames(complete)
+            outputs[subch_id] = out
+        return outputs
+
     # ---------------- control (reference parity) ----------------
 
     def reset(self) -> None:

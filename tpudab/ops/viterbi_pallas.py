@@ -1,22 +1,24 @@
 """Pallas-TPU Viterbi ACS kernel for the K=7 rate-1/4 DAB mother code.
 
 This is the framework's flagship hand kernel (SURVEY.md sec 2.3 row 2:
-"#1 native-kernel target: Pallas ACS kernel"; sec 7 roofline item). The
-XLA-scan implementation (tpudab.ops.viterbi) pays per-step scan overhead;
-here the whole trellis runs inside one kernel with:
+"#1 native-kernel target: Pallas ACS kernel"). Design (v2):
 
-- states on the sublane axis (64), batch on the lane axis (multiples of 128)
-- the ACS butterfly expressed with pure reshapes/slices — NO gathers:
-    pm viewed as (2, 32, B): pm2[b5][r] are the two predecessors of
-    s' = 2r+u, and the branch metrics viewed as (2, 32, 2, B) give
-    bm[b6][r][u]; new_pm (32, 2, B) row-major == state order 2r+u.
-- branch metrics for a whole T-chunk computed by ONE MXU matmul per chunk:
-    signs (128, 4) @ soft (4, CHUNK*B)
-- decisions streamed to HBM as f32 (one value per state/step/batch element);
-  traceback is a cheap reverse XLA scan on the host-side wrapper.
+- batch on the SUBLANE axis, the 64 trellis states on the LANE axis: every
+  per-step op is lane-natural (no sublane shuffles, which Mosaic lowers
+  poorly).
+- the predecessor "gather" is a one-hot 64x64 MXU matmul:
+      cand0 = pm @ G0 + bm[:, :64]     (G0[p, s'] = 1 iff p == s' >> 1)
+      cand1 = pm @ G1 + bm[:, 64:]     (G1[p, s'] = 1 iff p == (s'>>1) | 32)
+  64x64xB MFLOPs per step are negligible on the MXU; the recursion is
+  latency-bound, not FLOP-bound.
+- branch metrics for ALL steps are computed outside the kernel by one big
+  matmul (soft @ signs^T) and streamed in (chunk, B, 128) blocks; decisions
+  stream out as (chunk, B, 64) f32; path metrics persist in VMEM scratch
+  across the grid.
+- traceback is a cheap reverse XLA scan in the wrapper.
 
-Layout contract: mother soft bits arranged (4, T, B) f32 with B % 128 == 0
-and T % chunk == 0 (pad with pad_mother_soft's virtual flush first).
+Soft-bit convention as in tpudab.ops.viterbi; codewords padded with the
+virtual-flush pattern batch freely.
 """
 
 from __future__ import annotations
@@ -32,45 +34,47 @@ from tpudab.fec.conv import OUTPUT_SIGNS, N_STATES
 
 _NEG = -1e9
 
+# one-hot predecessor-selection matrices (static)
+_G0 = np.zeros((N_STATES, N_STATES), np.float32)
+_G1 = np.zeros((N_STATES, N_STATES), np.float32)
+for _s in range(N_STATES):
+    _G0[_s >> 1, _s] = 1.0
+    _G1[(_s >> 1) | 32, _s] = 1.0
 
-def _acs_kernel(soft_ref, signs_ref, dec_ref, pm_out_ref, pm_scratch, bm_scratch):
-    """Grid over T chunks. soft_ref block: (4, CHUNK, B); dec block
-    (CHUNK, 64, B) f32; pm carried in scratch (64, B); bm staged in scratch
-    (128, CHUNK, B) because Mosaic has no dynamic_slice on values."""
+
+def _acs_kernel(bm_ref, g0_ref, g1_ref, dec_ref, pm_out_ref, pm_scratch):
+    """Grid (batch tiles, T chunks); chunk axis fastest. Blocks:
+    bm_ref (chunk, B_t, 128), dec_ref (chunk, B_t, 64), pm scratch (B_t, 64).
+    """
     import jax.experimental.pallas as pl
 
-    chunk = soft_ref.shape[1]
-    b = soft_ref.shape[2]
+    chunk, b_t, _ = bm_ref.shape
 
     @pl.when(pl.program_id(1) == 0)
     def _():
-        pm_scratch[:] = jnp.full((N_STATES, b), _NEG, dtype=jnp.float32)
-        pm_scratch[0:1, :] = jnp.zeros((1, b), dtype=jnp.float32)
+        pm_scratch[:] = jnp.full((b_t, N_STATES), _NEG, dtype=jnp.float32)
+        pm_scratch[:, 0:1] = jnp.zeros((b_t, 1), dtype=jnp.float32)
 
-    # all branch metrics for the chunk: (128, CHUNK*B) on the MXU
-    soft_flat = soft_ref[:].reshape(4, chunk * b)
-    bm_scratch[:] = jax.lax.dot_general(
-        signs_ref[:], soft_flat,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(128, chunk, b)
+    g0 = g0_ref[:]
+    g1 = g1_ref[:]
 
     def body(t, pm):
-        bm_t = bm_scratch[:, pl.ds(t, 1), :][:, 0, :]   # (128, B)
-        # bm index reg7 = b6*64 + s' = b6*64 + 2r + u -> (b6, r, u) major
-        bm4 = bm_t.reshape(2, 32, 2, b)             # [b6][r][u]
-        pm2 = pm.reshape(2, 32, b)                  # [b5][r]
-        cand0 = pm2[0][:, None, :] + bm4[0]         # (32, 2, B)
-        cand1 = pm2[1][:, None, :] + bm4[1]
-        dec = (cand1 > cand0)
-        new_pm = jnp.maximum(cand0, cand1).reshape(N_STATES, b)
-        dec_ref[pl.ds(t, 1)] = dec.reshape(1, N_STATES, b).astype(jnp.float32)
+        bm_t = bm_ref[pl.ds(t, 1)][0]  # (B_t, 128)
+        cand0 = jax.lax.dot_general(
+            pm, g0, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bm_t[:, :N_STATES]
+        cand1 = jax.lax.dot_general(
+            pm, g1, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bm_t[:, N_STATES:]
+        dec = cand1 > cand0
+        new_pm = jnp.maximum(cand0, cand1)
+        dec_ref[pl.ds(t, 1)] = dec.astype(jnp.float32)[None]
         return new_pm
 
-    pm = pm_scratch[:]
-    pm = lax.fori_loop(0, chunk, body, pm)
-    # normalize once per chunk to keep absolute magnitudes small
-    pm = pm - jnp.max(pm, axis=0, keepdims=True)
+    pm = lax.fori_loop(0, chunk, body, pm_scratch[:])
+    # rebase once per chunk (metric spread is bounded by the 6-step
+    # reachability diameter, so absolute values stay small)
+    pm = pm - pm[:, 0:1]
     pm_scratch[:] = pm
     pm_out_ref[:] = pm
 
@@ -84,9 +88,10 @@ def _pad_to(x, m, axis, value):
     return jnp.pad(x, pad, constant_values=value)
 
 
-@functools.partial(jax.jit, static_argnames=("n_data_bits", "chunk", "interpret"))
-def viterbi_decode_pallas(mother_soft, n_data_bits: int, chunk: int = 64,
-                          interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("n_data_bits", "chunk", "b_tile",
+                                             "interpret"))
+def viterbi_decode_pallas(mother_soft, n_data_bits: int, chunk: int = 128,
+                          b_tile: int = 256, interpret: bool = False):
     """Drop-in equivalent of tpudab.ops.viterbi.viterbi_decode.
 
     mother_soft: (B, T, 4) float32; returns (B, n_data_bits) uint8.
@@ -95,57 +100,50 @@ def viterbi_decode_pallas(mother_soft, n_data_bits: int, chunk: int = 64,
     from jax.experimental.pallas import tpu as pltpu
 
     b0, t0, _ = mother_soft.shape
-    # arrange (4, T, B), pad B to 128 lanes and T to chunk multiple with the
-    # virtual-flush pattern (+1 on all four outputs keeps state 0 optimal)
-    soft = jnp.moveaxis(mother_soft, (0, 1, 2), (2, 1, 0))  # (4, T, B)
-    soft = _pad_to(soft, chunk, axis=1, value=1.0)
-    soft = _pad_to(soft, 128, axis=2, value=0.0)
-    _, t, b = soft.shape
+    soft = _pad_to(mother_soft, chunk, axis=1, value=1.0)  # virtual flush
+    soft = _pad_to(soft, b_tile, axis=0, value=0.0)
+    b, t, _ = soft.shape
     n_chunks = t // chunk
-
-    signs = jnp.asarray(OUTPUT_SIGNS)  # (128, 4)
-
-    # grid: (batch tiles of 128 lanes, T chunks); chunk axis iterates fastest
-    # so the pm scratch carries within one batch tile and reinitializes at
-    # chunk 0 of the next.
-    b_tile = 128
     n_b = b // b_tile
+
+    # all branch metrics in one MXU matmul, laid out (T, B, 128)
+    signs = jnp.asarray(OUTPUT_SIGNS)  # (128, 4)
+    bm = jnp.einsum("btc,rc->tbr", soft, signs,
+                    preferred_element_type=jnp.float32)
 
     decs, _ = pl.pallas_call(
         _acs_kernel,
         grid=(n_b, n_chunks),
         in_specs=[
-            pl.BlockSpec((4, chunk, b_tile), lambda j, i: (0, i, j),
+            pl.BlockSpec((chunk, b_tile, 128), lambda j, i: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 4), lambda j, i: (0, 0),
+            pl.BlockSpec((N_STATES, N_STATES), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_STATES, N_STATES), lambda j, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((chunk, N_STATES, b_tile), lambda j, i: (i, 0, j),
+            pl.BlockSpec((chunk, b_tile, N_STATES), lambda j, i: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((N_STATES, b_tile), lambda j, i: (0, j),
+            pl.BlockSpec((b_tile, N_STATES), lambda j, i: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t, N_STATES, b), jnp.float32),
-            jax.ShapeDtypeStruct((N_STATES, b), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, N_STATES), jnp.float32),
+            jax.ShapeDtypeStruct((b, N_STATES), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((N_STATES, b_tile), jnp.float32),
-                        pltpu.VMEM((128, chunk, b_tile), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((b_tile, N_STATES), jnp.float32)],
         interpret=interpret,
-    )(soft, signs)
+    )(bm, jnp.asarray(_G0), jnp.asarray(_G1))
 
-    # traceback (XLA reverse scan, cheap): state bit order here is the
-    # natural s' = 2r+u indexing, identical to the scan decoder's
     def traceback(state, dec_step):
-        # dec_step: (64, B) -> per-element decision at current state
         bit = (state & 1).astype(jnp.uint8)
-        d = jnp.take_along_axis(dec_step.T, state[:, None], axis=-1)[:, 0]
+        d = jnp.take_along_axis(dec_step, state[:, None], axis=-1)[:, 0]
         prev = (state >> 1) | (d.astype(jnp.int32) << 5)
         return prev, bit
 
     final_state = jnp.zeros((b,), dtype=jnp.int32)
-    dec_bool = decs > 0.5
-    _, bits_rev = lax.scan(traceback, final_state, dec_bool, reverse=True)
+    _, bits_rev = lax.scan(traceback, final_state, decs > 0.5,
+                           reverse=True, unroll=4)
     bits = jnp.moveaxis(bits_rev, 0, 1)  # (B, T)
     return bits[:b0, :n_data_bits]
