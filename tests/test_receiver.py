@@ -121,3 +121,25 @@ def test_packet_data_service_slideshow_end_to_end():
     assert len(slides) == 1
     assert slides[0].data == img
     assert slides[0].name == "cover.jpg"
+
+
+def test_device_step_pipeline_matches_python_path(ensemble_capture):
+    """use_device_step pipeline (jitted ReceiveStep with carry handoff) must
+    produce the same subchannel bytes as the python decoder path."""
+    iq, all_aus, hdr = ensemble_capture
+    r1, acc1, _ = decode_iq(iq, batch_frames=5)
+    r2, acc2, _ = decode_iq(iq, batch_frames=5, use_device_step=True)
+    assert r2.db.ensemble.label == r1.db.ensemble.label
+    f1 = np.concatenate([o.raw_frames for o in acc1[4]
+                         if o.raw_frames is not None and o.raw_frames.shape[0]])
+    f2 = np.concatenate([o.raw_frames for o in acc2[4]
+                         if o.raw_frames is not None and o.raw_frames.shape[0]])
+    m = min(f1.shape[0], f2.shape[0])
+    assert m > 30
+    np.testing.assert_array_equal(f1[:m], f2[:m])
+    sfs1 = [sf for o in acc1[4] for sf in o.superframes]
+    sfs2 = [sf for o in acc2[4] for sf in o.superframes]
+    flat1 = [bytes(a) for sf in sfs1 for a in sf.access_units]
+    flat2 = [bytes(a) for sf in sfs2 for a in sf.access_units]
+    mm = min(len(flat1), len(flat2))
+    assert flat1[:mm] == flat2[:mm]

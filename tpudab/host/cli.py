@@ -67,7 +67,8 @@ def cmd_decode(args) -> int:
     iq = _load_iq(args.path, args.format)
     print(f"Loaded {iq.shape[0]} samples ({iq.shape[0] / 2.048e6:.2f} s)")
     receiver, acc, stats = decode_iq(iq, mode=args.mode,
-                                     batch_frames=args.batch_frames)
+                                     batch_frames=args.batch_frames,
+                                     use_device_step=args.device_step)
     print(f"Sync: frame_start={stats.frame_start} "
           f"net_freq={stats.net_freq_hz:+.1f} Hz "
           f"frames={stats.total_frames} desync={stats.total_frames_desync}")
@@ -364,6 +365,8 @@ def main(argv=None) -> int:
     d.add_argument("--mode", type=int, default=1)
     d.add_argument("--batch-frames", type=int, default=8)
     d.add_argument("--out-dir", default=None)
+    d.add_argument("--device-step", action="store_true",
+                   help="decode MSC via the jitted device receive step")
     d.set_defaults(fn=cmd_decode)
 
     s = sub.add_parser("synth", help="synthesize a demo ensemble capture")

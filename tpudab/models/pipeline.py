@@ -32,17 +32,47 @@ class PipelineStats:
 
 
 class OfflinePipeline:
-    """Decode a (long) IQ capture in frame batches."""
+    """Decode a (long) IQ capture in frame batches.
+
+    use_device_step=True switches to the jitted ReceiveStep once the FIC
+    database has discovered the subchannel layout: demod + FIC Viterbi + all
+    MSC decoding run as ONE device program per batch (the bench.py path),
+    with the python-side deinterleaver history handed off into the step
+    carry so the logical-frame sequence continues seamlessly.
+    """
 
     def __init__(self, mode: int = 1, batch_frames: int = 8,
                  sync_cfg: SyncConfig = SyncConfig(),
-                 receiver: Optional[Receiver] = None):
+                 receiver: Optional[Receiver] = None,
+                 use_device_step: bool = False):
         self.mode = mode
         self.params = get_ofdm_params(mode)
         self.batch_frames = batch_frames
         self.sync_cfg = sync_cfg
         self.receiver = receiver or Receiver(mode)
+        self.use_device_step = use_device_step
         self.stats = PipelineStats()
+        self._step = None
+        self._step_carry = None
+        self._step_first_logical: Dict[int, int] = {}
+
+    def _maybe_build_step(self) -> None:
+        """Build the jitted step from discovered decoders, seeding its carry
+        with each decoder's deinterleaver history."""
+        import jax.numpy as jnp
+        from tpudab.models.step import ReceiveStep
+
+        rx = self.receiver
+        if self._step is not None or not rx.subch_decoders:
+            return
+        configs = tuple(d.config for d in rx.subch_decoders.values())
+        self._step = ReceiveStep(mode=self.mode, subchannels=configs,
+                                 window_offset=self.sync_cfg.window_offset)
+        carry = {}
+        for subch_id, dec in rx.subch_decoders.items():
+            carry[f"deint_{subch_id}"] = jnp.asarray(dec._history)
+            self._step_first_logical[subch_id] = dec._n_seen - 15
+        self._step_carry = carry
 
     def run(self, iq: np.ndarray, collect=None):
         """Decode the whole buffer; returns accumulated channel outputs.
@@ -68,12 +98,25 @@ class OfflinePipeline:
             if nf == 0:
                 break
             frames = iq[pos : pos + nf * p.nb_frame_length].reshape(nf, p.nb_frame_length)
-            soft, _ = demod_frames_split(
-                np.ascontiguousarray(frames.real, dtype=np.float32),
-                np.ascontiguousarray(frames.imag, dtype=np.float32),
-                self.stats.net_freq_hz, self.mode, self.sync_cfg.window_offset)
-            soft = np.asarray(soft)
-            outputs = self.receiver.process_frame_bits(soft)
+            re = np.ascontiguousarray(frames.real, dtype=np.float32)
+            im = np.ascontiguousarray(frames.imag, dtype=np.float32)
+            if self.use_device_step:
+                self._maybe_build_step()
+            if self._step is not None:
+                self._step_carry, step_out = self._step(
+                    self._step_carry, re, im, np.float32(self.stats.net_freq_hz))
+                subch_bytes = {k: np.asarray(v)
+                               for k, v in step_out["subch"].items()}
+                outputs = self.receiver.process_step_outputs(
+                    np.asarray(step_out["fic_bytes"]), subch_bytes,
+                    dict(self._step_first_logical))
+                for k in self._step_first_logical:
+                    self._step_first_logical[k] += nf * self.receiver.dab.nb_cifs
+            else:
+                soft, _ = demod_frames_split(
+                    re, im, self.stats.net_freq_hz, self.mode,
+                    self.sync_cfg.window_offset)
+                outputs = self.receiver.process_frame_bits(np.asarray(soft))
             self.stats.total_frames += nf
             pos += nf * p.nb_frame_length
 

@@ -90,8 +90,8 @@ def _pad_to(x, m, axis, value):
 
 @functools.partial(jax.jit, static_argnames=("n_data_bits", "chunk", "b_tile",
                                              "interpret"))
-def viterbi_decode_pallas(mother_soft, n_data_bits: int, chunk: int = 128,
-                          b_tile: int = 256, interpret: bool = False):
+def viterbi_decode_pallas(mother_soft, n_data_bits: int, chunk: int = 32,
+                          b_tile: int = 128, interpret: bool = False):
     """Drop-in equivalent of tpudab.ops.viterbi.viterbi_decode.
 
     mother_soft: (B, T, 4) float32; returns (B, n_data_bits) uint8.
