@@ -143,3 +143,22 @@ def test_device_step_pipeline_matches_python_path(ensemble_capture):
     flat2 = [bytes(a) for sf in sfs2 for a in sf.access_units]
     mm = min(len(flat1), len(flat2))
     assert flat1[:mm] == flat2[:mm]
+
+
+def test_dropout_resync(ensemble_capture):
+    """A mid-capture blackout must trigger reacquisition and decoding must
+    resume afterwards (reference failure-recovery analog: desync counter +
+    state-machine fallback, SURVEY.md sec 5.3)."""
+    iq, _, _ = ensemble_capture
+    iq = apply_impairments(iq, Impairments(freq_offset_hz=5_000.0,
+                                           snr_db=20, seed=12))
+    corrupted = iq.copy()
+    # 3-frame blackout starting mid-capture
+    lo = 4 * 196608 + 1234
+    corrupted[lo : lo + 3 * 196608] = 0
+    receiver, acc, stats = decode_iq(corrupted, batch_frames=2)
+    assert stats.reacquisitions >= 1
+    assert receiver.db.ensemble.label == "E2E Mux"
+    # FIBs decoded fine both before and after the blackout
+    ok_frames = receiver.stats["fibs"] - receiver.stats["fib_crc_errors"]
+    assert ok_frames >= 7 * 12
