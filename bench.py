@@ -34,8 +34,10 @@ def main():
 
     dev = jax.devices()[0]
     n_frames = int(os.environ.get("TPUDAB_BENCH_FRAMES", "16"))
+    n_ens = int(os.environ.get("TPUDAB_BENCH_ENSEMBLES", "8"))
 
-    step = ReceiveStep(mode=1, subchannels=_bench_subchannels())
+    step = ReceiveStep(mode=1, subchannels=_bench_subchannels(),
+                       n_ensembles=n_ens)
     carry, frames_re, frames_im, freq = step.example_args(n_frames=n_frames, seed=0)
     carry = jax.device_put(carry, dev)
     frames_re = jax.device_put(frames_re, dev)
@@ -66,7 +68,7 @@ def main():
         carry, out = step(carry, frames_re, frames_im, freq)
     checksum(out)
     dt = time.perf_counter() - t0
-    samples = iters * n_frames * step.params.nb_frame_length
+    samples = iters * n_ens * n_frames * step.params.nb_frame_length
     samples_per_s = samples / dt
     realtime_factor = samples_per_s / SAMPLING_RATE
 
@@ -98,6 +100,7 @@ def main():
         "viterbi_mbit_s": round(viterbi_mbit_s, 2),
         "device": str(dev),
         "n_frames_per_step": n_frames,
+        "n_ensembles_per_step": n_ens,
     }
     return result
 

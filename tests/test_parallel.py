@@ -147,3 +147,25 @@ def test_receive_step_matches_subchannel_decoder():
     # subchannel 1 carries known payload: rows 15+ decode it exactly
     got = np.asarray(out["subch"][1])[15:]
     np.testing.assert_array_equal(got, payload[: got.shape[0]])
+
+
+def test_receive_step_ensemble_axis():
+    """n_ensembles>1 step == independent single-ensemble steps (bit-exact)."""
+    from tpudab.models.step import ReceiveStep
+    caps = [_make_capture(5, 200 + s) for s in range(2)]
+    cfg = SubchannelConfig(subch_id=1, start_cu=0, size_cu=24,
+                           profile=eep_profile(24, 3, 0))
+    step1 = ReceiveStep(mode=1, subchannels=(cfg,))
+    step2 = ReceiveStep(mode=1, subchannels=(cfg,), n_ensembles=2)
+
+    frames = np.stack([c[0] for c in caps])  # (2, F, L)
+    re = np.ascontiguousarray(frames.real, np.float32)
+    im = np.ascontiguousarray(frames.imag, np.float32)
+    c2, out2 = step2(step2.init_carry(), re, im, np.float32(0.0))
+
+    for e in range(2):
+        c1, out1 = step1(step1.init_carry(), re[e], im[e], np.float32(0.0))
+        np.testing.assert_array_equal(np.asarray(out2["subch"][1])[e],
+                                      np.asarray(out1["subch"][1]))
+        np.testing.assert_array_equal(np.asarray(out2["fic_bytes"])[e],
+                                      np.asarray(out1["fic_bytes"]))

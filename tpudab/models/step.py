@@ -40,11 +40,18 @@ def _descramble_pack(bits, n_bits: int):
 
 @dataclasses.dataclass
 class ReceiveStep:
-    """Builds a jitted step for a fixed subchannel configuration."""
+    """Builds a jitted step for a fixed subchannel configuration.
+
+    n_ensembles > 1 adds a leading ensemble axis to frames/carry/outputs:
+    one chip decodes N independent ensembles per step, multiplying every
+    Viterbi/demod batch by N (the single-chip form of BASELINE config 5's
+    multi-ensemble batching — per-chip throughput is batch-bound).
+    """
 
     mode: int
     subchannels: Tuple[SubchannelConfig, ...]
     window_offset: int = 12
+    n_ensembles: int = 1
 
     def __post_init__(self):
         self.params = get_ofdm_params(self.mode)
@@ -54,43 +61,59 @@ class ReceiveStep:
     # -------- carry --------
 
     def init_carry(self) -> Dict[str, jnp.ndarray]:
+        e = self.n_ensembles
+        shape = lambda n: (TIME_INTERLEAVE_DEPTH - 1, n) if e == 1 \
+            else (e, TIME_INTERLEAVE_DEPTH - 1, n)
         return {
-            f"deint_{cfg.subch_id}": jnp.zeros(
-                (TIME_INTERLEAVE_DEPTH - 1, cfg.slice_bits), jnp.float32)
+            f"deint_{cfg.subch_id}": jnp.zeros(shape(cfg.slice_bits), jnp.float32)
             for cfg in self.subchannels
         }
 
     # -------- the step --------
 
     def _step(self, carry, frames_re, frames_im, freq_hz):
-        """frames_re/_im: (F, frame_len) float32 aligned; freq_hz scalar.
+        """frames_re/_im: (F, frame_len) — or (E, F, frame_len) when
+        n_ensembles > 1 — float32 aligned; freq_hz scalar or (E,).
 
         Split re/im keeps the device program complex-free (FFT = MXU matmuls
         via tpudab.ops.matfft). Returns (carry, outputs) with outputs:
-          fic_bytes: (F * n_groups, group_bytes) uint8 (pre-CRC-check)
-          subch: {id: (C, frame_bytes) uint8} decoded logical frames
+          fic_bytes: ([E,] F * n_groups, group_bytes) uint8 (pre-CRC-check)
+          subch: {id: ([E,] C, frame_bytes) uint8} decoded logical frames
                  (logical index alignment handled by the host wrapper)
         """
         p, dab = self.params, self.dab
-        f = frames_re.shape[0]
-        soft, stats = demod_frames_split(frames_re, frames_im, freq_hz,
+        e = self.n_ensembles
+        if e > 1:
+            f = frames_re.shape[1]
+            flat_re = frames_re.reshape(e * f, p.nb_frame_length)
+            flat_im = frames_im.reshape(e * f, p.nb_frame_length)
+            freq_rep = jnp.repeat(jnp.broadcast_to(
+                jnp.asarray(freq_hz, jnp.float32), (e,)), f)
+        else:
+            f = frames_re.shape[0]
+            flat_re, flat_im, freq_rep = frames_re, frames_im, freq_hz
+        soft, stats = demod_frames_split(flat_re, flat_im, freq_rep,
                                          self.mode, self.window_offset)
 
         # ---- FIC ----
         fic_profile = FIC_PROFILE_MODE3 if self.mode == 3 else FIC_PROFILE
         g = dab.nb_fib_groups
-        groups = soft[:, : dab.nb_fic_bits].reshape(f * g, dab.nb_fic_bits_per_group)
+        groups = soft[:, : dab.nb_fic_bits].reshape(-1, dab.nb_fic_bits_per_group)
         n_bits = fic_profile.data_bits
-        mother = depuncture(groups, fic_profile).reshape(f * g, n_bits + 6, 4)
+        mother = depuncture(groups, fic_profile).reshape(-1, n_bits + 6, 4)
         fic_bits = viterbi_decode(mother, n_bits)
         fic_bytes = _descramble_pack(fic_bits, n_bits)
+        if e > 1:
+            fic_bytes = fic_bytes.reshape(e, f * g, -1)
 
         # ---- MSC ----
         # Subchannels with identical coding geometry (profile + size) batch
-        # into ONE Viterbi call: per-chip throughput scales with batch, not
-        # with per-trellis speed (SURVEY.md sec 7 'Hard parts': lane-pack
-        # subchannels).
-        cifs = soft[:, dab.nb_fic_bits:].reshape(f * dab.nb_cifs, CIF_BITS)
+        # into ONE Viterbi call — across subchannels AND ensembles: per-chip
+        # throughput scales with batch, not with per-trellis speed
+        # (SURVEY.md sec 7 'Hard parts': lane-pack subchannels).
+        c = f * dab.nb_cifs
+        cifs = soft[:, dab.nb_fic_bits:].reshape(e, c, CIF_BITS) if e > 1 \
+            else soft[:, dab.nb_fic_bits:].reshape(c, CIF_BITS)
         new_carry = dict(carry)
         subch_out = {}
         groups: Dict[tuple, list] = {}
@@ -98,25 +121,29 @@ class ReceiveStep:
             key = (cfg.profile, cfg.slice_bits, cfg.padding_bits)
             groups.setdefault(key, []).append(cfg)
         for (profile, slice_bits, padding_bits), cfgs in groups.items():
-            c = cifs.shape[0]
             logicals = []
             for cfg in cfgs:
                 lo = cfg.start_cu * CU_BITS
-                sl = jax.lax.slice_in_dim(cifs, lo, lo + cfg.slice_bits, axis=1)
+                sl = jax.lax.slice_in_dim(cifs, lo, lo + cfg.slice_bits, axis=-1)
                 hist = carry[f"deint_{cfg.subch_id}"]
-                buf = jnp.concatenate([hist, sl], axis=0)
+                buf = jnp.concatenate([hist, sl], axis=-2)
                 d = jnp.asarray(interleave_delays(cfg.slice_bits)[None, :], jnp.int32)
                 rows = jnp.arange(c, dtype=jnp.int32)[:, None] + d
                 cols = jnp.arange(cfg.slice_bits, dtype=jnp.int32)[None, :]
-                logicals.append(buf[rows, cols])
-                new_carry[f"deint_{cfg.subch_id}"] = buf[-(TIME_INTERLEAVE_DEPTH - 1):]
-            logical = jnp.concatenate(logicals, axis=0)  # (n_sub * C, slice)
+                logicals.append(buf[..., rows, cols])
+                new_carry[f"deint_{cfg.subch_id}"] = \
+                    buf[..., -(TIME_INTERLEAVE_DEPTH - 1):, :]
+            # (n_sub * [E *] C, slice)
+            logical = jnp.concatenate(
+                [l.reshape(-1, slice_bits) for l in logicals], axis=0)
             body = logical[:, : slice_bits - padding_bits] \
                 if padding_bits else logical
             n_bits = profile.data_bits
             mother = depuncture(body, profile).reshape(-1, n_bits + 6, 4)
             bits = viterbi_decode(mother, n_bits)
-            by = _descramble_pack(bits, n_bits).reshape(len(cfgs), c, -1)
+            by = _descramble_pack(bits, n_bits)
+            by = by.reshape((len(cfgs), e, c, -1) if e > 1
+                            else (len(cfgs), c, -1))
             for i, cfg in enumerate(cfgs):
                 subch_out[cfg.subch_id] = by[i]
 
@@ -136,6 +163,8 @@ class ReceiveStep:
     def example_args(self, n_frames: int = 4, seed: int = 0):
         rng = np.random.default_rng(seed)
         shape = (n_frames, self.params.nb_frame_length)
+        if self.n_ensembles > 1:
+            shape = (self.n_ensembles,) + shape
         re = rng.standard_normal(shape).astype(np.float32)
         im = rng.standard_normal(shape).astype(np.float32)
         return (self.init_carry(), jnp.asarray(re), jnp.asarray(im),
