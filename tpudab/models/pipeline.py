@@ -57,21 +57,42 @@ class OfflinePipeline:
         self._step_first_logical: Dict[int, int] = {}
 
     def _maybe_build_step(self) -> None:
-        """Build the jitted step from discovered decoders, seeding its carry
-        with each decoder's deinterleaver history."""
+        """(Re)build the jitted step from discovered decoders.
+
+        Initial build seeds the carry from each python decoder's
+        deinterleaver history (seamless handoff). If the FIC later discovers
+        additional subchannels, the step is rebuilt: existing carries are
+        kept, new subchannels start with zero history (their first 15
+        logical frames are warm-up, as at stream start).
+        """
         import jax.numpy as jnp
         from tpudab.models.step import ReceiveStep
 
         rx = self.receiver
-        if self._step is not None or not rx.subch_decoders:
+        if not rx.subch_decoders:
+            return
+        current = set(rx.subch_decoders.keys())
+        if self._step is not None and \
+                current == {c.subch_id for c in self._step.subchannels}:
             return
         configs = tuple(d.config for d in rx.subch_decoders.values())
-        self._step = ReceiveStep(mode=self.mode, subchannels=configs,
-                                 window_offset=self.sync_cfg.window_offset)
+        old_carry = self._step_carry or {}
+        new_step = ReceiveStep(mode=self.mode, subchannels=configs,
+                               window_offset=self.sync_cfg.window_offset)
         carry = {}
+        n_cifs_seen = self.stats.total_frames * rx.dab.nb_cifs
         for subch_id, dec in rx.subch_decoders.items():
-            carry[f"deint_{subch_id}"] = jnp.asarray(dec._history)
-            self._step_first_logical[subch_id] = dec._n_seen - 15
+            key = f"deint_{subch_id}"
+            if key in old_carry:
+                carry[key] = old_carry[key]
+            elif self._step is None:
+                carry[key] = jnp.asarray(dec._history)
+                self._step_first_logical[subch_id] = dec._n_seen - 15
+            else:
+                carry[key] = jnp.zeros(
+                    (15, dec.config.slice_bits), jnp.float32)
+                self._step_first_logical[subch_id] = n_cifs_seen - 15
+        self._step = new_step
         self._step_carry = carry
 
     def run(self, iq: np.ndarray, collect=None):
