@@ -64,42 +64,52 @@ def viterbi_decode(mother_soft, n_data_bits: int):
     Returns:
       bits: (B, n_data_bits) uint8 hard decisions.
     """
-    signs = jnp.asarray(OUTPUT_SIGNS)  # (128, 4)
+    signs_t = jnp.asarray(OUTPUT_SIGNS.T)  # (4, 128)
     pred0 = jnp.asarray((np.arange(N_STATES) >> 1).astype(np.int32))
     pred1 = jnp.asarray(((np.arange(N_STATES) >> 1) | 32).astype(np.int32))
+    shifts64 = jnp.asarray(np.concatenate([np.arange(32, dtype=np.uint32)] * 2))
 
     b, t, _ = mother_soft.shape
-    # All branch metrics in one MXU matmul: (B, T, 128)
-    bm = jax.lax.dot_general(
-        mother_soft, signs,
-        dimension_numbers=(((2,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    bm_t = jnp.moveaxis(bm, 1, 0)  # (T, B, 128)
+    soft_t = jnp.moveaxis(mother_soft, 1, 0)  # (T, B, 4)
 
     pm0 = jnp.full((b, N_STATES), _NEG, dtype=jnp.float32).at[:, 0].set(0.0)
 
-    def acs(pm, bm_step):
-        cand0 = jnp.take(pm, pred0, axis=-1) + bm_step[:, :N_STATES]
-        cand1 = jnp.take(pm, pred1, axis=-1) + bm_step[:, N_STATES:]
-        dec = cand1 > cand0
+    # Branch metrics are computed INSIDE the scan body (a skinny per-step
+    # matmul): precomputing all of them would materialize a (T, B, 128) f32
+    # tensor — tens of GB of HBM traffic at production batch sizes, which
+    # dominates the whole decode. Decisions are bit-packed to 2 uint32 words
+    # per codeword per step (64x smaller than a bool (T, B, 64) buffer).
+    def acs(pm, soft_step):
+        bm = jax.lax.dot_general(
+            soft_step, signs_t,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (B, 128)
+        cand0 = jnp.take(pm, pred0, axis=-1) + bm[:, :N_STATES]
+        cand1 = jnp.take(pm, pred1, axis=-1) + bm[:, N_STATES:]
+        dec = (cand1 > cand0)
         new_pm = jnp.maximum(cand0, cand1)
         # rebase on state 0's metric: the metric SPREAD is bounded by the
-        # trellis (<= constraint-length * max branch metric), so this keeps
-        # absolute values bounded without a cross-state max reduction
+        # trellis (<= reachability diameter * max branch metric), so this
+        # keeps absolute values bounded without a cross-state reduction
         new_pm = new_pm - new_pm[:, 0:1]
-        return new_pm, dec
+        bits = dec.astype(jnp.uint32) << shifts64[None, :]
+        lo = bits[:, :32].sum(axis=-1, dtype=jnp.uint32)
+        hi = bits[:, 32:].sum(axis=-1, dtype=jnp.uint32)
+        return new_pm, (lo, hi)
 
-    _, decs = lax.scan(acs, pm0, bm_t, unroll=4)  # decs: (T, B, 64) bool
+    _, (dec_lo, dec_hi) = lax.scan(acs, pm0, soft_t, unroll=4)  # (T, B) u32
 
     def traceback(state, dec_step):
+        lo, hi = dec_step
         bit = (state & 1).astype(jnp.uint8)
-        d = jnp.take_along_axis(dec_step, state[:, None], axis=-1)[:, 0]
+        word = jnp.where(state < 32, lo, hi)
+        d = (word >> (state.astype(jnp.uint32) & 31)) & 1
         prev = (state >> 1) | (d.astype(jnp.int32) << 5)
         return prev, bit
 
     final_state = jnp.zeros((b,), dtype=jnp.int32)
-    _, bits_rev = lax.scan(traceback, final_state, decs, reverse=True, unroll=4)
+    _, bits_rev = lax.scan(traceback, final_state, (dec_lo, dec_hi),
+                           reverse=True, unroll=4)
     # scan(reverse=True) emits outputs in forward order: bits_rev[t] is the
     # bit decoded at step t.
     bits = jnp.moveaxis(bits_rev, 0, 1)  # (B, T)
