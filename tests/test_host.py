@@ -102,3 +102,17 @@ def test_streaming_radio_end_to_end():
     assert "Stream Svc" in text
     assert "UEP" in text
     assert "state=" in text and "FIC:" in text
+
+
+def test_carry_checkpoint_roundtrip(tmp_path):
+    """Streaming carry saves/loads bit-exactly (resume support)."""
+    import jax.numpy as jnp
+    from tpudab.models.checkpoint import save_carry, load_carry
+    carry = {"deint_1": jnp.arange(15.0 * 64).reshape(15, 64),
+             "deint_2": jnp.ones((15, 128), jnp.float32) * 0.5}
+    p = str(tmp_path / "ck.npz")
+    save_carry(p, carry, {"net_freq_hz": 1234.5})
+    got, extra = load_carry(p)
+    assert extra["net_freq_hz"] == 1234.5
+    for k in carry:
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(carry[k]))
