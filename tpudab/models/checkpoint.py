@@ -18,20 +18,24 @@ import numpy as np
 import jax.numpy as jnp
 
 
+def _base(path: str) -> str:
+    return path[:-4] if path.endswith(".npz") else path
+
+
 def save_carry(path: str, carry: Dict[str, jnp.ndarray],
                extra: Optional[dict] = None) -> None:
     arrays = {k: np.asarray(v) for k, v in carry.items()}
-    np.savez_compressed(path, **arrays)
+    np.savez_compressed(_base(path) + ".npz", **arrays)
     if extra is not None:
-        with open(path + ".json", "w") as f:
+        with open(_base(path) + ".json", "w") as f:
             json.dump(extra, f)
 
 
 def load_carry(path: str):
-    data = np.load(path if path.endswith(".npz") else path + ".npz")
+    data = np.load(_base(path) + ".npz")
     carry = {k: jnp.asarray(data[k]) for k in data.files}
     extra = None
-    jpath = (path[:-4] if path.endswith(".npz") else path) + ".json"
+    jpath = _base(path) + ".json"
     if os.path.exists(jpath):
         with open(jpath) as f:
             extra = json.load(f)
