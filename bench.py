@@ -34,7 +34,7 @@ def main():
 
     dev = jax.devices()[0]
     n_frames = int(os.environ.get("TPUDAB_BENCH_FRAMES", "16"))
-    n_ens = int(os.environ.get("TPUDAB_BENCH_ENSEMBLES", "8"))
+    n_ens = int(os.environ.get("TPUDAB_BENCH_ENSEMBLES", "16"))
 
     step = ReceiveStep(mode=1, subchannels=_bench_subchannels(),
                        n_ensembles=n_ens)
