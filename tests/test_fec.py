@@ -214,3 +214,18 @@ def test_viterbi_pallas_matches_scan():
     want = np.asarray(viterbi_decode(soft, n))
     got = np.asarray(viterbi_decode_pallas(soft, n, chunk=64, interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+def test_viterbi_radix_compaction_matches_oracle():
+    """radix-2^k trellis compaction (k steps per scan iteration) is exact
+    for every k, including lengths not divisible by k (virtual-flush pad)."""
+    rng = np.random.default_rng(31)
+    b, n = 6, 201
+    bits = rng.integers(0, 2, (b, n)).astype(np.uint8)
+    enc = np.stack([conv_encode(r) for r in bits])
+    soft = bits_to_soft(enc) + rng.normal(0, 0.5, enc.shape).astype(np.float32)
+    soft = soft.reshape(b, n + 6, 4)
+    want = viterbi_decode_np(soft, n)
+    for k in (1, 2, 3, 4, 6):
+        got = np.asarray(viterbi_decode(soft, n, radix=k))
+        np.testing.assert_array_equal(got, want, err_msg=f"radix={k}")

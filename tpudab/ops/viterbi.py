@@ -52,67 +52,118 @@ def pad_mother_soft(mother_soft: np.ndarray, target_steps: int,
     return np.concatenate([mother_soft, pad], axis=-2)
 
 
-@functools.partial(jax.jit, static_argnames=("n_data_bits",))
-def viterbi_decode(mother_soft, n_data_bits: int):
+@functools.lru_cache(maxsize=None)
+def _radix_tables(k: int):
+    """Static tables for a radix-2^k trellis (k input bits per ACS step).
+
+    A k-step super-transition is identified by reg = (j << 6) | s'' where
+    s'' is the destination state and j in [0, 2^k) selects one of the 2^k
+    predecessors pred_j = (s'' >> k) | (j << (6-k)).  The combined branch
+    metric over the k constituent single-step transitions is one matmul:
+    soft (B, 4k) @ SIGNS_K (4k, 64*2^k), because step i of super-transition
+    reg is the single-step transition (reg >> (k-1-i)) & 127.
+    """
+    assert 1 <= k <= 6
+    n_trans = N_STATES << k
+    reg = np.arange(n_trans, dtype=np.int64)
+    rows = []
+    for i in range(k):
+        reg7 = (reg >> (k - 1 - i)) & 127
+        rows.append(OUTPUT_SIGNS[reg7, :].T)            # (4, n_trans)
+    signs = np.ascontiguousarray(np.concatenate(rows, axis=0))  # (4k, n_trans)
+    j = np.arange(1 << k, dtype=np.int32)[:, None]
+    spp = np.arange(N_STATES, dtype=np.int32)[None, :]
+    preds = (spp >> k) | (j << (6 - k))                 # (2^k, 64)
+    return signs, preds
+
+
+@functools.partial(jax.jit, static_argnames=("n_data_bits", "radix", "unroll"))
+def viterbi_decode(mother_soft, n_data_bits: int, radix: int = 4,
+                   unroll: int | None = None):
     """Decode batched codewords.
 
     Args:
       mother_soft: (B, T, 4) float32 depunctured mother-code soft bits
         (T = n_data_bits + 6 + optional virtual-flush padding).
       n_data_bits: number of data bits to return (tail/padding dropped).
+      radix: trellis steps per scan iteration (2^radix-way ACS). Compacting
+        the trellis cuts the sequential scan length by `radix`x at the cost
+        of a wider (but still one-matmul) branch-metric step; radix=1 is the
+        classic butterfly.
 
     Returns:
       bits: (B, n_data_bits) uint8 hard decisions.
     """
-    signs_t = jnp.asarray(OUTPUT_SIGNS.T)  # (4, 128)
-    pred0 = jnp.asarray((np.arange(N_STATES) >> 1).astype(np.int32))
-    pred1 = jnp.asarray(((np.arange(N_STATES) >> 1) | 32).astype(np.int32))
+    k = radix
+    b, t, _ = mother_soft.shape
+    # Round T up to a multiple of k with virtual-flush padding (+1 on all
+    # four mother bits == perfect evidence for continued zero-input flush;
+    # see pad_mother_soft).
+    t_pad = (-t) % k
+    if t_pad:
+        mother_soft = jnp.pad(mother_soft, ((0, 0), (0, t_pad), (0, 0)),
+                              constant_values=1.0)
+        t = t + t_pad
+
+    signs_np, preds_np = _radix_tables(k)
+    signs_t = jnp.asarray(signs_np)                     # (4k, 64*2^k)
+    preds = jnp.asarray(preds_np)                       # (2^k, 64)
     shifts64 = jnp.asarray(np.concatenate([np.arange(32, dtype=np.uint32)] * 2))
 
-    b, t, _ = mother_soft.shape
-    soft_t = jnp.moveaxis(mother_soft, 1, 0)  # (T, B, 4)
+    soft_t = jnp.moveaxis(
+        mother_soft.reshape(b, t // k, 4 * k), 1, 0)    # (T/k, B, 4k)
 
     pm0 = jnp.full((b, N_STATES), _NEG, dtype=jnp.float32).at[:, 0].set(0.0)
 
     # Branch metrics are computed INSIDE the scan body (a skinny per-step
-    # matmul): precomputing all of them would materialize a (T, B, 128) f32
-    # tensor — tens of GB of HBM traffic at production batch sizes, which
-    # dominates the whole decode. Decisions are bit-packed to 2 uint32 words
-    # per codeword per step (64x smaller than a bool (T, B, 64) buffer).
+    # matmul): precomputing all of them would materialize a (T, B, 64*2^k)
+    # f32 tensor — tens of GB of HBM traffic at production batch sizes, which
+    # dominates the whole decode. Decisions are bit-packed to 2k uint32 words
+    # per codeword per super-step (same 2 bits/state/trellis-step as radix 1).
     def acs(pm, soft_step):
         bm = jax.lax.dot_general(
             soft_step, signs_t,
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (B, 128)
-        cand0 = jnp.take(pm, pred0, axis=-1) + bm[:, :N_STATES]
-        cand1 = jnp.take(pm, pred1, axis=-1) + bm[:, N_STATES:]
-        dec = (cand1 > cand0)
-        new_pm = jnp.maximum(cand0, cand1)
+            preferred_element_type=jnp.float32)         # (B, 64*2^k)
+        cand = (jnp.take(pm, preds, axis=-1)            # (B, 2^k, 64)
+                + bm.reshape(b, 1 << k, N_STATES))
+        dec = jnp.argmax(cand, axis=1).astype(jnp.uint32)   # (B, 64)
+        new_pm = jnp.max(cand, axis=1)
         # rebase on state 0's metric: the metric SPREAD is bounded by the
         # trellis (<= reachability diameter * max branch metric), so this
         # keeps absolute values bounded without a cross-state reduction
         new_pm = new_pm - new_pm[:, 0:1]
-        bits = dec.astype(jnp.uint32) << shifts64[None, :]
-        lo = bits[:, :32].sum(axis=-1, dtype=jnp.uint32)
-        hi = bits[:, 32:].sum(axis=-1, dtype=jnp.uint32)
-        return new_pm, (lo, hi)
+        words = []
+        for i in range(k):
+            bits = ((dec >> i) & 1) << shifts64[None, :]
+            words.append(bits[:, :32].sum(axis=-1, dtype=jnp.uint32))
+            words.append(bits[:, 32:].sum(axis=-1, dtype=jnp.uint32))
+        return new_pm, jnp.stack(words, axis=-1)        # (B, 2k) u32
 
-    _, (dec_lo, dec_hi) = lax.scan(acs, pm0, soft_t, unroll=4)  # (T, B) u32
+    if unroll is None:
+        unroll = max(1, 4 // k)
+    _, dec_words = lax.scan(acs, pm0, soft_t, unroll=unroll)  # (T/k, B, 2k)
 
-    def traceback(state, dec_step):
-        lo, hi = dec_step
-        bit = (state & 1).astype(jnp.uint8)
-        word = jnp.where(state < 32, lo, hi)
-        d = (word >> (state.astype(jnp.uint32) & 31)) & 1
-        prev = (state >> 1) | (d.astype(jnp.int32) << 5)
-        return prev, bit
+    def traceback(state, dec_step):                     # dec_step (B, 2k)
+        su = state.astype(jnp.uint32)
+        j = jnp.zeros_like(su)
+        for i in range(k):
+            word = jnp.where(state < 32, dec_step[:, 2 * i],
+                             dec_step[:, 2 * i + 1])
+            j = j | (((word >> (su & 31)) & 1) << i)
+        prev = (state >> k) | (j.astype(jnp.int32) << (6 - k))
+        # bit emitted at in-super-step offset i is input u_{t+i} = bit
+        # (k-1-i) of the destination state's low k bits
+        out = jnp.stack([((state >> (k - 1 - i)) & 1).astype(jnp.uint8)
+                         for i in range(k)], axis=-1)   # (B, k)
+        return prev, out
 
     final_state = jnp.zeros((b,), dtype=jnp.int32)
-    _, bits_rev = lax.scan(traceback, final_state, (dec_lo, dec_hi),
-                           reverse=True, unroll=4)
-    # scan(reverse=True) emits outputs in forward order: bits_rev[t] is the
-    # bit decoded at step t.
-    bits = jnp.moveaxis(bits_rev, 0, 1)  # (B, T)
+    _, bits_rev = lax.scan(traceback, final_state, dec_words,
+                           reverse=True, unroll=unroll)
+    # scan(reverse=True) emits outputs in forward order: bits_rev[t] covers
+    # trellis steps [t*k, (t+1)*k).
+    bits = jnp.moveaxis(bits_rev, 0, 1).reshape(b, t)   # (B, T)
     return bits[:, :n_data_bits]
 
 

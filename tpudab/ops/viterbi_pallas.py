@@ -1,21 +1,39 @@
-"""Pallas-TPU Viterbi ACS kernel for the K=7 rate-1/4 DAB mother code.
+"""Pallas-TPU Viterbi decoder (ACS + traceback) for the K=7 r=1/4 DAB code.
 
 This is the framework's flagship hand kernel (SURVEY.md sec 2.3 row 2:
-"#1 native-kernel target: Pallas ACS kernel"). Design (v2):
+"#1 native-kernel target: Pallas ACS kernel"), v3.
 
-- batch on the SUBLANE axis, the 64 trellis states on the LANE axis: every
-  per-step op is lane-natural (no sublane shuffles, which Mosaic lowers
-  poorly).
-- the predecessor "gather" is a one-hot 64x64 MXU matmul:
-      cand0 = pm @ G0 + bm[:, :64]     (G0[p, s'] = 1 iff p == s' >> 1)
-      cand1 = pm @ G1 + bm[:, 64:]     (G1[p, s'] = 1 iff p == (s'>>1) | 32)
-  64x64xB MFLOPs per step are negligible on the MXU; the recursion is
-  latency-bound, not FLOP-bound.
-- branch metrics for ALL steps are computed outside the kernel by one big
-  matmul (soft @ signs^T) and streamed in (chunk, B, 128) blocks; decisions
-  stream out as (chunk, B, 64) f32; path metrics persist in VMEM scratch
-  across the grid.
-- traceback is a cheap reverse XLA scan in the wrapper.
+Why a hand kernel at all: the XLA lax.scan decoder (tpudab.ops.viterbi) is
+bound by per-iteration HBM round-trips — the branch-metric matmul output,
+the gathered candidates and the (B, 64) path-metric carry all materialize
+in HBM every trellis step (~30 MB/step at production batch), ~60 GB per
+full decode.  Here the path metrics never leave VMEM; HBM traffic is the
+information-theoretic minimum: soft bits in, 2-bit decisions out, packed
+traceback bytes out.
+
+Layout (learned from the failed v1/v2 attempts, see git history):
+- 64 trellis states on SUBLANES, batch on LANES — every ACS op is a full
+  (64, B_t) vreg op; no lane shuffles.
+- radix-2 trellis compaction (two input bits per ACS step): the 4-way
+  predecessor "gather" pred_j(s'') = (s''>>2) | (j<<4) is, for fixed j, a
+  contiguous 16-sublane slice of pm repeated 4x consecutively — exactly
+  `pltpu.repeat(pm[16j:16j+16], 4, axis=0)`.  No one-hot matmuls in the
+  sequential dependency chain (v2's mistake: per-step MXU latency chains).
+- soft bits are pre-arranged (T2, 8, B): one super-step slice soft[t] is an
+  8-sublane tile-aligned (8, B_t) read; branch metrics for all 256
+  super-transitions are one small MXU matmul (256,8)@(8,B_t) that does NOT
+  depend on the path metrics (v2 streamed precomputed (T, B, 128) branch
+  metrics from HBM — 512 B/codeword/step of pure bandwidth waste).
+- decisions stream out as (T2, 64, B) uint8 (2 bits used), 32 B/cw/step.
+- traceback is a second kernel walking chunks in reverse grid order with
+  the per-codeword state in SMEM-free (1, B_t) VMEM scratch; the survivor
+  selection dec[t, state_b, b] is a sublane-masked reduction.  Output is
+  one packed byte per super-step: state & 3 = (u_{2t} << 1) | u_{2t+1}.
+
+Exactness: identical decisions to tpudab.ops.viterbi.viterbi_decode
+(ties: pairwise maxima replicate first-index argmax) up to f32 rounding of
+the rebase schedule (rebased once per chunk here; rebase subtracts a
+per-codeword constant so decisions are unaffected).
 
 Soft-bit convention as in tpudab.ops.viterbi; codewords padded with the
 virtual-flush pattern batch freely.
@@ -29,54 +47,84 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
-from tpudab.fec.conv import OUTPUT_SIGNS, N_STATES
+from tpudab.fec.conv import N_STATES
+from tpudab.ops.viterbi import _radix_tables
 
 _NEG = -1e9
-
-# one-hot predecessor-selection matrices (static)
-_G0 = np.zeros((N_STATES, N_STATES), np.float32)
-_G1 = np.zeros((N_STATES, N_STATES), np.float32)
-for _s in range(N_STATES):
-    _G0[_s >> 1, _s] = 1.0
-    _G1[(_s >> 1) | 32, _s] = 1.0
+_K = 2  # radix-2: two trellis steps per ACS iteration
 
 
-def _acs_kernel(bm_ref, g0_ref, g1_ref, dec_ref, pm_out_ref, pm_scratch):
-    """Grid (batch tiles, T chunks); chunk axis fastest. Blocks:
-    bm_ref (chunk, B_t, 128), dec_ref (chunk, B_t, 64), pm scratch (B_t, 64).
+def _fwd_kernel(signs_ref, soft_ref, dec_ref, pm_ref):
+    """Grid (b tiles, T2 chunks), chunk minor. Blocks:
+    signs (256, 8) const; soft (chunk, 8, B_t); dec out (chunk, 64, B_t) u8;
+    pm scratch (64, B_t) f32 persists across the chunk axis.
     """
-    import jax.experimental.pallas as pl
-
-    chunk, b_t, _ = bm_ref.shape
+    chunk = soft_ref.shape[0]
+    b_t = soft_ref.shape[2]
 
     @pl.when(pl.program_id(1) == 0)
     def _():
-        pm_scratch[:] = jnp.full((b_t, N_STATES), _NEG, dtype=jnp.float32)
-        pm_scratch[:, 0:1] = jnp.zeros((b_t, 1), dtype=jnp.float32)
+        row = jax.lax.broadcasted_iota(jnp.int32, (N_STATES, b_t), 0)
+        pm_ref[:] = jnp.where(row == 0, 0.0, _NEG).astype(jnp.float32)
 
-    g0 = g0_ref[:]
-    g1 = g1_ref[:]
+    signs = signs_ref[:]  # (256, 8)
 
     def body(t, pm):
-        bm_t = bm_ref[pl.ds(t, 1)][0]  # (B_t, 128)
-        cand0 = jax.lax.dot_general(
-            pm, g0, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) + bm_t[:, :N_STATES]
-        cand1 = jax.lax.dot_general(
-            pm, g1, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) + bm_t[:, N_STATES:]
-        dec = cand1 > cand0
-        new_pm = jnp.maximum(cand0, cand1)
-        dec_ref[pl.ds(t, 1)] = dec.astype(jnp.float32)[None]
+        soft_t = soft_ref[t]  # (8, B_t), tile-aligned sublane slice
+        bm = jax.lax.dot_general(
+            signs, soft_t,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (256, B_t)
+        # consecutive repeat (np.repeat semantics): row u of c_j is
+        # pm[16j + (u >> 2)]  (pltpu.repeat is TILED, not consecutive)
+        c0 = jnp.repeat(pm[0:16], 4, axis=0) + bm[0:64]
+        c1 = jnp.repeat(pm[16:32], 4, axis=0) + bm[64:128]
+        c2 = jnp.repeat(pm[32:48], 4, axis=0) + bm[128:192]
+        c3 = jnp.repeat(pm[48:64], 4, axis=0) + bm[192:256]
+        d01 = (c1 > c0).astype(jnp.int32)
+        m01 = jnp.maximum(c0, c1)
+        d23 = (c3 > c2).astype(jnp.int32)
+        m23 = jnp.maximum(c2, c3)
+        dh = m23 > m01
+        new_pm = jnp.maximum(m01, m23)
+        dec = jnp.where(dh, d23 | 2, d01)
+        dec_ref[t] = dec.astype(jnp.uint8)
         return new_pm
 
-    pm = lax.fori_loop(0, chunk, body, pm_scratch[:])
-    # rebase once per chunk (metric spread is bounded by the 6-step
-    # reachability diameter, so absolute values stay small)
-    pm = pm - pm[:, 0:1]
-    pm_scratch[:] = pm
-    pm_out_ref[:] = pm
+    pm = lax.fori_loop(0, chunk, body, pm_ref[:])
+    # rebase once per chunk: subtracting a per-codeword constant never
+    # changes decisions; spread growth over one chunk is << f32 range
+    pm_ref[:] = pm - pm[0:1, :]
+
+
+def _tb_kernel(dec_ref, out_ref, state_ref):
+    """Grid (b tiles, T2 chunks) walked with the chunk axis REVERSED via the
+    index maps. Blocks: dec (chunk, 64, B_t) u8; out (chunk, 1, B_t) u8
+    packed (u_{2t}<<1 | u_{2t+1}); state scratch (1, B_t) i32.  The output
+    keeps a unit middle dim so the per-step store indexes the untiled
+    leading dim (dynamic sublane stores are not provably aligned).
+    """
+    chunk = dec_ref.shape[0]
+    b_t = dec_ref.shape[2]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        state_ref[:] = jnp.zeros((1, b_t), jnp.int32)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (N_STATES, b_t), 0)
+
+    def body(i, state):
+        t = chunk - 1 - i
+        dec_t = dec_ref[t].astype(jnp.int32)              # (64, B_t)
+        hit = row == state                                # state bcast (1,B_t)
+        j = jnp.sum(jnp.where(hit, dec_t, 0), axis=0, keepdims=True)
+        out_ref[t] = (state & 3).astype(jnp.uint8)
+        return (state >> _K) | (j << (6 - _K))
+
+    state_ref[:] = lax.fori_loop(0, chunk, body, state_ref[:])
 
 
 def _pad_to(x, m, axis, value):
@@ -90,60 +138,98 @@ def _pad_to(x, m, axis, value):
 
 @functools.partial(jax.jit, static_argnames=("n_data_bits", "chunk", "b_tile",
                                              "interpret"))
-def viterbi_decode_pallas(mother_soft, n_data_bits: int, chunk: int = 32,
-                          b_tile: int = 128, interpret: bool = False):
+def viterbi_decode_pallas(mother_soft, n_data_bits: int, chunk: int = 64,
+                          b_tile: int | None = None, interpret: bool = False):
     """Drop-in equivalent of tpudab.ops.viterbi.viterbi_decode.
 
     mother_soft: (B, T, 4) float32; returns (B, n_data_bits) uint8.
-    """
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
+    Measured (TPU v5e, B=6144, T=3462, queued-dispatch timing): 14.4 ms end
+    to end (fwd 10.4 + traceback 2.5 + layout glue) = 1475 Mbit/s payload,
+    vs 27.4 ms for the XLA lax.scan decoder — and the fwd kernel sits at its
+    VPU issue-rate bound (~8 vector ops per 2 trellis steps).
+    """
     b0, t0, _ = mother_soft.shape
-    soft = _pad_to(mother_soft, chunk, axis=1, value=1.0)  # virtual flush
+    if b_tile is None:
+        # batch lives on the LANE axis: multiples of 128 only
+        b_tile = min(512, 128 * ((b0 + 127) // 128))
+    soft = _pad_to(mother_soft, _K * chunk, axis=1, value=1.0)  # virtual flush
     soft = _pad_to(soft, b_tile, axis=0, value=0.0)
     b, t, _ = soft.shape
-    n_chunks = t // chunk
+    t2 = t // _K
+    n_chunks = t2 // chunk
     n_b = b // b_tile
 
-    # all branch metrics in one MXU matmul, laid out (T, B, 128)
-    signs = jnp.asarray(OUTPUT_SIGNS)  # (128, 4)
-    bm = jnp.einsum("btc,rc->tbr", soft, signs,
-                    preferred_element_type=jnp.float32)
+    signs_np, _ = _radix_tables(_K)           # (8, 256)
+    signs = jnp.asarray(signs_np.T)           # (256, 8)
+    # (B, T, 4) -> (T2, 8, B): lane dim = batch, one tile-aligned sublane
+    # slice per super-step
+    soft_t = jnp.moveaxis(soft.reshape(b, t2, 4 * _K), 0, 2)
 
-    decs, _ = pl.pallas_call(
-        _acs_kernel,
+    decs = pl.pallas_call(
+        _fwd_kernel,
         grid=(n_b, n_chunks),
         in_specs=[
-            pl.BlockSpec((chunk, b_tile, 128), lambda j, i: (i, j, 0),
+            pl.BlockSpec((256, 4 * _K), lambda j, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((N_STATES, N_STATES), lambda j, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((N_STATES, N_STATES), lambda j, i: (0, 0),
+            pl.BlockSpec((chunk, 4 * _K, b_tile), lambda j, i: (i, 0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((chunk, b_tile, N_STATES), lambda j, i: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((b_tile, N_STATES), lambda j, i: (j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((t, b, N_STATES), jnp.float32),
-            jax.ShapeDtypeStruct((b, N_STATES), jnp.float32),
-        ],
-        scratch_shapes=[pltpu.VMEM((b_tile, N_STATES), jnp.float32)],
+        out_specs=pl.BlockSpec((chunk, N_STATES, b_tile),
+                               lambda j, i: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t2, N_STATES, b), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((N_STATES, b_tile), jnp.float32)],
         interpret=interpret,
-    )(bm, jnp.asarray(_G0), jnp.asarray(_G1))
+    )(signs, soft_t)
 
-    def traceback(state, dec_step):
-        bit = (state & 1).astype(jnp.uint8)
-        d = jnp.take_along_axis(dec_step, state[:, None], axis=-1)[:, 0]
-        prev = (state >> 1) | (d.astype(jnp.int32) << 5)
-        return prev, bit
+    packed = pl.pallas_call(
+        _tb_kernel,
+        grid=(n_b, n_chunks),
+        in_specs=[
+            pl.BlockSpec((chunk, N_STATES, b_tile),
+                         lambda j, i: (pl.num_programs(1) - 1 - i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((chunk, 1, b_tile),
+                               lambda j, i: (pl.num_programs(1) - 1 - i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t2, 1, b), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((1, b_tile), jnp.int32)],
+        interpret=interpret,
+    )(decs)
 
-    final_state = jnp.zeros((b,), dtype=jnp.int32)
-    _, bits_rev = lax.scan(traceback, final_state, decs > 0.5,
-                           reverse=True, unroll=4)
-    bits = jnp.moveaxis(bits_rev, 0, 1)  # (B, T)
+    # unpack: byte at super-step t holds (u_{2t} << 1) | u_{2t+1}
+    packed = jnp.moveaxis(packed[:, 0, :], 0, 1)          # (B, T2)
+    bits = jnp.stack([(packed >> 1) & 1, packed & 1], axis=-1)
+    bits = bits.reshape(b, t)
     return bits[:b0, :n_data_bits]
+
+
+def _platform() -> str:
+    try:
+        return jax.devices()[0].platform.lower()
+    except Exception:
+        return "cpu"
+
+
+@functools.lru_cache(maxsize=1)
+def _use_pallas() -> bool:
+    """Pallas kernel on real TPU backends; XLA scan decoder elsewhere
+    (CPU tests / virtual meshes). Override with TPUDAB_VITERBI=pallas|xla."""
+    import os
+    force = os.environ.get("TPUDAB_VITERBI", "").lower()
+    if force == "pallas":
+        return True
+    if force == "xla":
+        return False
+    return _platform() not in ("cpu", "")
+
+
+def viterbi_decode_best(mother_soft, n_data_bits: int):
+    """Backend-dispatching Viterbi decode: Pallas ACS kernel on TPU, XLA
+    scan decoder on CPU (where Mosaic kernels would need interpret mode)."""
+    from tpudab.ops.viterbi import viterbi_decode
+    if _use_pallas():
+        return viterbi_decode_pallas(mother_soft, n_data_bits)
+    return viterbi_decode(mother_soft, n_data_bits)

@@ -32,7 +32,7 @@ from tpudab.fec.prbs import prbs_bits
 from tpudab.msc.interleave import interleave_delays, TIME_INTERLEAVE_DEPTH
 from tpudab.msc.subchannel import SubchannelConfig
 from tpudab.ofdm.demod import demod_frames_split
-from tpudab.ops.viterbi import viterbi_decode
+from tpudab.ops.viterbi_pallas import viterbi_decode_best as viterbi_decode
 from tpudab.utils.bits import jnp_pack_bits
 
 _H = TIME_INTERLEAVE_DEPTH - 1  # 15-CIF halo
