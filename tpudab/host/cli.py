@@ -347,9 +347,12 @@ def cmd_stream(args) -> int:
 
 
 def cmd_info(args) -> int:
-    from tpudab.ofdm.sync import acquire
+    # NumPy acquisition mirror: the jnp acquire path needs complex64, which
+    # the axon TPU backend does not implement (see STATUS.md); every other
+    # command already routes acquisition through sync_np.
+    from tpudab.ofdm.sync_np import acquire_np
     iq = _load_iq(args.path, args.format)
-    res = acquire(iq[: min(iq.shape[0], 4 * 196608)])
+    res = acquire_np(iq[: min(iq.shape[0], 4 * 196608)])
     for k, v in res.items():
         print(f"{k}: {v}")
     return 0
