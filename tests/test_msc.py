@@ -214,3 +214,20 @@ def test_dabplus_pad_dynamic_label_and_slideshow():
     assert ch.dynamic_label == "TPU DAB dynamic label"
     assert len(ch.slideshow.slides) == 1
     assert ch.slideshow.slides[0].data == img
+
+
+def test_deinterleave_batch_matches_gather_oracle():
+    """Static-slice deinterleave == per-bit gather oracle, batched + plain."""
+    import jax.numpy as jnp
+    from tpudab.msc.interleave import deinterleave_batch, interleave_delays
+    rng = np.random.default_rng(7)
+    c, s = 12, 64 * 3
+    buf = rng.normal(0, 1, (2, c + 15, s)).astype(np.float32)
+    d = interleave_delays(s)
+    rows = np.arange(c)[:, None] + d[None, :]
+    cols = np.broadcast_to(np.arange(s)[None, :], rows.shape)
+    want = buf[:, rows, cols]
+    got = np.asarray(deinterleave_batch(jnp.asarray(buf), c))
+    np.testing.assert_array_equal(got, want)
+    got1 = np.asarray(deinterleave_batch(jnp.asarray(buf[0]), c))
+    np.testing.assert_array_equal(got1, want[0])

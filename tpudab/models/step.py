@@ -26,7 +26,7 @@ from tpudab.constants.puncture import FIC_PROFILE, FIC_PROFILE_MODE3
 from tpudab.fec.prbs import prbs_bits
 from tpudab.fec.depuncture import depuncture
 from tpudab.msc.subchannel import SubchannelConfig
-from tpudab.msc.interleave import interleave_delays, TIME_INTERLEAVE_DEPTH
+from tpudab.msc.interleave import deinterleave_batch, TIME_INTERLEAVE_DEPTH
 from tpudab.ofdm.demod import demod_frames_split
 from tpudab.ops.viterbi_pallas import viterbi_decode_best as viterbi_decode
 from tpudab.utils.bits import jnp_pack_bits
@@ -127,10 +127,7 @@ class ReceiveStep:
                 sl = jax.lax.slice_in_dim(cifs, lo, lo + cfg.slice_bits, axis=-1)
                 hist = carry[f"deint_{cfg.subch_id}"]
                 buf = jnp.concatenate([hist, sl], axis=-2)
-                d = jnp.asarray(interleave_delays(cfg.slice_bits)[None, :], jnp.int32)
-                rows = jnp.arange(c, dtype=jnp.int32)[:, None] + d
-                cols = jnp.arange(cfg.slice_bits, dtype=jnp.int32)[None, :]
-                logicals.append(buf[..., rows, cols])
+                logicals.append(deinterleave_batch(buf, c))
                 new_carry[f"deint_{cfg.subch_id}"] = \
                     buf[..., -(TIME_INTERLEAVE_DEPTH - 1):, :]
             # (n_sub * [E *] C, slice)

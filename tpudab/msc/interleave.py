@@ -58,3 +58,31 @@ def deinterleave_np(cif_slices: np.ndarray) -> np.ndarray:
     cols = np.broadcast_to(np.arange(n_bits)[None, :], rows.shape)
     valid = rows < n_frames
     return np.where(valid, cif_slices[np.minimum(rows, n_frames - 1), cols], 0)
+
+
+def deinterleave_batch(buf, c: int):
+    """Device-side batched deinterleave as 16 static row-shifted slices.
+
+    buf: (..., c + 15, S) CIF slices with 15 rows of history prepended,
+    S % 16 == 0. Returns (..., c, S) logical frames:
+        out[..., i, col] = buf[..., i + d(col % 16), col].
+
+    d depends only on col % 16, so instead of a general 2D gather (which
+    XLA lowers to a slow per-element take at production batch) the result
+    is a mask-select sum of 16 contiguous row-shifted slices
+    buf[..., k : k+c, :] — XLA fuses the chain into one pass over the
+    output (21.4 ms -> 6.7 ms for 6 subchannels x 16 ensembles x 64 CIFs
+    x 6912 bits on v5e; a lane-strided (S//16, 16) stacking variant
+    measured 12.4 ms).
+    """
+    import jax
+    import jax.numpy as jnp
+    s = buf.shape[-1]
+    assert s % TIME_INTERLEAVE_DEPTH == 0
+    d = interleave_delays(s)
+    out = None
+    for k in range(TIME_INTERLEAVE_DEPTH):
+        part = jnp.where(jnp.asarray(d == k),
+                         jax.lax.slice_in_dim(buf, k, k + c, axis=-2), 0.0)
+        out = part if out is None else out + part
+    return out

@@ -25,7 +25,7 @@ from tpudab.constants.puncture import (
 from tpudab.database.entities import Subchannel
 from tpudab.fec.depuncture import depuncture
 from tpudab.fec.prbs import descramble_bits
-from tpudab.msc.interleave import interleave_delays, TIME_INTERLEAVE_DEPTH
+from tpudab.msc.interleave import deinterleave_batch, TIME_INTERLEAVE_DEPTH
 from tpudab.ops.viterbi import viterbi_decode
 from tpudab.utils.bits import pack_bits
 
@@ -76,9 +76,7 @@ class SubchannelDecoder:
         n = config.slice_bits
         self._history = jnp.zeros((TIME_INTERLEAVE_DEPTH - 1, n), dtype=jnp.float32)
         self._n_seen = 0
-        d = interleave_delays(n)
-        # gather row offsets: logical frame m needs concat-history row m + d(i)
-        self._delay = jnp.asarray(d[None, :], dtype=jnp.int32)  # (1, n)
+
 
     def process(self, cif_soft: np.ndarray):
         cfg = self.config
@@ -86,9 +84,7 @@ class SubchannelDecoder:
         assert n == cfg.slice_bits
         buf = jnp.concatenate([self._history, jnp.asarray(cif_soft, jnp.float32)],
                               axis=0)  # (15 + C, n)
-        rows = jnp.arange(c, dtype=jnp.int32)[:, None] + self._delay  # (C, n)
-        cols = jnp.arange(n, dtype=jnp.int32)[None, :]
-        logical = buf[rows, cols]  # (C, n) soft codewords u_{m}
+        logical = deinterleave_batch(buf, c)  # (C, n) soft codewords u_{m}
         self._history = buf[-(TIME_INTERLEAVE_DEPTH - 1):]
 
         body = logical[:, : n - cfg.padding_bits] if cfg.padding_bits else logical

@@ -29,7 +29,7 @@ from tpudab.constants.dab_params import get_dab_params, CIF_BITS, CU_BITS
 from tpudab.constants.puncture import FIC_PROFILE, FIC_PROFILE_MODE3
 from tpudab.fec.depuncture import depuncture
 from tpudab.fec.prbs import prbs_bits
-from tpudab.msc.interleave import interleave_delays, TIME_INTERLEAVE_DEPTH
+from tpudab.msc.interleave import deinterleave_batch, TIME_INTERLEAVE_DEPTH
 from tpudab.msc.subchannel import SubchannelConfig
 from tpudab.ofdm.demod import demod_frames_split
 from tpudab.ops.viterbi_pallas import viterbi_decode_best as viterbi_decode
@@ -134,10 +134,7 @@ class ShardedReceiveStep:
             hist = jnp.where(t_idx == 0, carry[f"deint_{cfg.subch_id}"], halo)
             buf = jnp.concatenate([hist, sl], axis=1)  # (E_l, 15 + C_l, n)
 
-            d = jnp.asarray(interleave_delays(cfg.slice_bits)[None, :], jnp.int32)
-            rows = jnp.arange(c_l, dtype=jnp.int32)[:, None] + d  # (C_l, n)
-            cols = jnp.arange(cfg.slice_bits, dtype=jnp.int32)[None, :]
-            logical = buf[:, rows, cols]  # (E_l, C_l, n)
+            logical = deinterleave_batch(buf, c_l)  # (E_l, C_l, n)
 
             body = logical[..., : cfg.slice_bits - cfg.padding_bits] \
                 if cfg.padding_bits else logical
