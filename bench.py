@@ -29,7 +29,7 @@ def main():
 
     from __graft_entry__ import _bench_subchannels
     from tpudab.models.step import ReceiveStep
-    from tpudab.ops.viterbi import viterbi_decode
+    from tpudab.ops.viterbi_pallas import viterbi_decode_best
     from tpudab.constants.ofdm_params import SAMPLING_RATE
 
     dev = jax.devices()[0]
@@ -72,19 +72,20 @@ def main():
     samples_per_s = samples / dt
     realtime_factor = samples_per_s / SAMPLING_RATE
 
-    # Viterbi microbench: batched codewords, payload Mbit/s
+    # Viterbi microbench at production batch (6 subch x 16 ens x 64 CIFs),
+    # payload Mbit/s through the dispatching decoder (Pallas kernel on TPU)
     viterbi_mbit_s = -1.0
     try:
-        b, n_bits = 256, 3072
+        b, n_bits = 6144, 3456
         rng = np.random.default_rng(1)
         soft = jax.device_put(
             rng.standard_normal((b, n_bits + 6, 4)).astype(np.float32), dev)
         vsync = lambda bits: float(bits.astype(jnp.float32).sum())
-        vsync(viterbi_decode(soft, n_bits))
+        vsync(viterbi_decode_best(soft, n_bits))
         t0 = time.perf_counter()
         v_iters = 5
         for _ in range(v_iters):
-            bits = viterbi_decode(soft, n_bits)
+            bits = viterbi_decode_best(soft, n_bits)
         vsync(bits)
         v_dt = time.perf_counter() - t0
         viterbi_mbit_s = v_iters * b * n_bits / v_dt / 1e6
