@@ -92,8 +92,30 @@ def test_split_real_demod_matches_complex():
     iq = iq[None, :196608]
     soft_c, stats_c = demod_frames(iq, 800.0)
     soft_s, stats_s = demod_frames_split(iq.real.astype(np.float32),
-                                         iq.imag.astype(np.float32), 800.0)
+                                         iq.imag.astype(np.float32), 800.0,
+                                         dft_dtype="float32")
     np.testing.assert_allclose(np.asarray(soft_s), np.asarray(soft_c),
                                rtol=2e-3, atol=2e-3)
     hard = (np.asarray(soft_s)[0] < 0).astype(np.uint8)
     assert (hard != bits).mean() < 0.01
+
+
+def test_split_real_demod_bf16():
+    """The production bf16 DFT (f32 accumulation) must stay within ~-40 dB
+    of the f32 soft bits — the 2048-point coherent sum keeps the per-element
+    2^-9 rounding far below channel noise — and must not cost any bit errors
+    at operating SNR."""
+    from tpudab.ofdm.demod import demod_frames_split
+    frame, bits = _frame_and_bits(seed=23)
+    iq = apply_impairments(frame, Impairments(freq_offset_hz=500.0, snr_db=18,
+                                              seed=11))
+    iq = iq[None, :196608]
+    re = iq.real.astype(np.float32)
+    im = iq.imag.astype(np.float32)
+    soft32, _ = demod_frames_split(re, im, 500.0, dft_dtype="float32")
+    soft16, _ = demod_frames_split(re, im, 500.0)  # default bf16
+    err = np.asarray(soft16) - np.asarray(soft32)
+    rel_rms = np.sqrt((err ** 2).mean() / (np.asarray(soft32) ** 2).mean())
+    assert rel_rms < 1e-2  # <= -40 dB
+    hard = (np.asarray(soft16)[0] < 0).astype(np.uint8)
+    assert (hard != bits).mean() == 0.0

@@ -3,7 +3,12 @@
 Usage: python tools/profile_step.py  (patient: run alone on the TPU)
 """
 
+import os
+import sys
 import time
+
+# NOTE: do NOT use PYTHONPATH — it breaks axon TPU plugin discovery.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax

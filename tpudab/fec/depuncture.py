@@ -74,8 +74,10 @@ def depuncture(soft_bits, profile: PunctureProfile):
     for n_blocks, kpb, one_hot in runs:
         seg = jax.lax.slice_in_dim(soft_bits, off, off + n_blocks * kpb, axis=-1)
         seg = seg.reshape(lead + (n_blocks, kpb))
+        # one_hot must match the operand dtype: a mixed bf16 x f32 dot is
+        # catastrophically slow on TPU (falls off the MXU path)
         expanded = jax.lax.dot_general(
-            seg, jnp.asarray(one_hot),
+            seg, jnp.asarray(one_hot, dtype=seg.dtype),
             dimension_numbers=(((seg.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         outs.append(expanded.reshape(lead + (n_blocks * one_hot.shape[1],)))

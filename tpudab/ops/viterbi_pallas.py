@@ -163,8 +163,9 @@ def viterbi_decode_pallas(mother_soft, n_data_bits: int, chunk: int = 64,
     signs_np, _ = _radix_tables(_K)           # (8, 256)
     signs = jnp.asarray(signs_np.T)           # (256, 8)
     # (B, T, 4) -> (T2, 8, B): lane dim = batch, one tile-aligned sublane
-    # slice per super-step
-    soft_t = jnp.moveaxis(soft.reshape(b, t2, 4 * _K), 0, 2)
+    # slice per super-step. The kernel computes in f32; bf16 inputs (the
+    # production soft-bit dtype) are upcast here, fused into the relayout.
+    soft_t = jnp.moveaxis(soft.reshape(b, t2, 4 * _K), 0, 2).astype(jnp.float32)
 
     decs = pl.pallas_call(
         _fwd_kernel,
