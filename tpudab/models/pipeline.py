@@ -119,8 +119,11 @@ class OfflinePipeline:
             if nf == 0:
                 break
             frames = iq[pos : pos + nf * p.nb_frame_length].reshape(nf, p.nb_frame_length)
-            re = np.ascontiguousarray(frames.real, dtype=np.float32)
-            im = np.ascontiguousarray(frames.imag, dtype=np.float32)
+            # lane-tiled (F, len//128, 128) form: free on host, avoids a
+            # device relayout at the jit boundary (see demod_frames_split)
+            tiled = (nf, p.nb_frame_length // 128, 128)
+            re = np.ascontiguousarray(frames.real, dtype=np.float32).reshape(tiled)
+            im = np.ascontiguousarray(frames.imag, dtype=np.float32).reshape(tiled)
             if self.use_device_step:
                 self._maybe_build_step()
             if self._step is not None:

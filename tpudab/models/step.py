@@ -28,14 +28,24 @@ from tpudab.fec.depuncture import depuncture
 from tpudab.msc.subchannel import SubchannelConfig
 from tpudab.msc.interleave import deinterleave_batch, TIME_INTERLEAVE_DEPTH
 from tpudab.ofdm.demod import demod_frames_split
-from tpudab.ops.viterbi_pallas import viterbi_decode_best as viterbi_decode
-from tpudab.utils.bits import jnp_pack_bits
+from tpudab.ops.viterbi_pallas import (viterbi_decode_best as viterbi_decode,
+                                       viterbi_decode_bytes_best)
+from tpudab.utils.bits import jnp_pack_bits, pack_bits
 
 
 def _descramble_pack(bits, n_bits: int):
     """Device-side energy-dispersal descramble + MSB-first byte pack."""
     prbs = jnp.asarray(prbs_bits(n_bits))
     return jnp_pack_bits(bits ^ prbs)
+
+
+def _decode_descramble(mother, n_bits: int):
+    """Viterbi decode straight to packed bytes (in-kernel pack on TPU) and
+    energy-dispersal descramble as a byte-level XOR — avoids materializing
+    the (B, n_bits) bit plane (a 1.4 ms/step padded-layout pack on v5e)."""
+    by = viterbi_decode_bytes_best(mother, n_bits)
+    prbs_by = jnp.asarray(pack_bits(prbs_bits(n_bits)))
+    return by ^ prbs_by
 
 
 @dataclasses.dataclass
@@ -59,6 +69,13 @@ class ReceiveStep:
     # below channel noise at operating SNR. Set "float32" for bit-exact
     # parity with the per-stage oracles.
     soft_dtype: str = "bfloat16"
+    # Merge the FIC codewords into the widest MSC Viterbi call (separator
+    # flush trick) instead of a standalone small-batch decode. Measured
+    # SLOWER on v5e (building/extracting the merged rows costs ~4 ms of
+    # padded-layout copies on (..., 4)-minor arrays vs ~2.9 ms for the
+    # standalone FIC decode) — kept as an option for layouts with many
+    # more small codewords per step.
+    merge_fic: bool = False
 
     def __post_init__(self):
         self.params = get_ofdm_params(self.mode)
@@ -80,40 +97,48 @@ class ReceiveStep:
     # -------- the step --------
 
     def _step(self, carry, frames_re, frames_im, freq_hz):
-        """frames_re/_im: (F, frame_len) — or (E, F, frame_len) when
-        n_ensembles > 1 — float32 aligned; freq_hz scalar or (E,).
+        """frames_re/_im: lane-tiled (F, frame_len//128, 128) — or
+        (E, F, frame_len//128, 128) when n_ensembles > 1 — float32 aligned;
+        freq_hz scalar or (E,). Callers reshape on the HOST (a free numpy
+        view); passing flat (.., frame_len) frames through the jit boundary
+        would force a device relayout (see demod_frames_split docstring).
 
-        Split re/im keeps the device program complex-free (FFT = MXU matmuls
-        via tpudab.ops.matfft). Returns (carry, outputs) with outputs:
+        Split re/im keeps the device program complex-free (the FFT is one
+        dense MXU matmul, tpudab.ofdm.demod). Returns (carry, outputs):
           fic_bytes: ([E,] F * n_groups, group_bytes) uint8 (pre-CRC-check)
           subch: {id: ([E,] C, frame_bytes) uint8} decoded logical frames
                  (logical index alignment handled by the host wrapper)
         """
         p, dab = self.params, self.dab
+        rows = p.nb_frame_length // 128
         e = self.n_ensembles
         if e > 1:
             f = frames_re.shape[1]
-            flat_re = frames_re.reshape(e * f, p.nb_frame_length)
-            flat_im = frames_im.reshape(e * f, p.nb_frame_length)
+            flat_re = frames_re.reshape(e * f, rows, 128)
+            flat_im = frames_im.reshape(e * f, rows, 128)
             freq_rep = jnp.repeat(jnp.broadcast_to(
                 jnp.asarray(freq_hz, jnp.float32), (e,)), f)
         else:
             f = frames_re.shape[0]
             flat_re, flat_im, freq_rep = frames_re, frames_im, freq_hz
         soft, stats = demod_frames_split(flat_re, flat_im, freq_rep,
-                                         self.mode, self.window_offset)
-        soft = soft.astype(jnp.dtype(self.soft_dtype))
+                                         self.mode, self.window_offset,
+                                         out_dtype=self.soft_dtype)
 
-        # ---- FIC ----
+        # ---- FIC (depuncture now; Viterbi is merged into the widest MSC
+        # call below when possible — a standalone B=e*f*4 T=774 decode costs
+        # ~2.9 ms of mostly pipeline-fill on v5e, vs ~0.7 ms amortized) ----
         fic_profile = FIC_PROFILE_MODE3 if self.mode == 3 else FIC_PROFILE
         g = dab.nb_fib_groups
-        groups = soft[:, : dab.nb_fic_bits].reshape(-1, dab.nb_fic_bits_per_group)
-        n_bits = fic_profile.data_bits
-        mother = depuncture(groups, fic_profile).reshape(-1, n_bits + 6, 4)
-        fic_bits = viterbi_decode(mother, n_bits)
-        fic_bytes = _descramble_pack(fic_bits, n_bits)
-        if e > 1:
-            fic_bytes = fic_bytes.reshape(e, f * g, -1)
+        fic_groups = soft[:, : dab.nb_fic_bits].reshape(
+            -1, dab.nb_fic_bits_per_group)
+        fic_nbits = fic_profile.data_bits
+        fic_t = fic_nbits + 6
+        fic_mother = depuncture(fic_groups, fic_profile).reshape(-1, fic_t, 4)
+
+        def pack_fic(fic_bits):
+            fic_bytes = _descramble_pack(fic_bits, fic_nbits)
+            return fic_bytes.reshape(e, f * g, -1) if e > 1 else fic_bytes
 
         # ---- MSC ----
         # Subchannels with identical coding geometry (profile + size) batch
@@ -129,6 +154,24 @@ class ReceiveStep:
         for cfg in self.subchannels:
             key = (cfg.profile, cfg.slice_bits, cfg.padding_bits)
             groups.setdefault(key, []).append(cfg)
+
+        # FIC merge plan: g terminated FIC codewords (768+6 trellis steps
+        # each) are chained into ONE row of the widest MSC Viterbi call,
+        # separated by 6 virtual-flush steps of large amplitude. A flush
+        # step rewards the all-zero output transition (state 0 -> 0) by
+        # +4A and every other transition strictly less, so 6 such steps
+        # force the global ML path through state 0 at each codeword
+        # boundary — making the merged decode bit-identical to independent
+        # terminated decodes (tests/test_viterbi.py::test_merged_codewords).
+        fic_merged_t = g * fic_t + (g - 1) * 6
+        host_key = None
+        if groups and self.merge_fic:
+            widest = max(groups, key=lambda k: k[0].data_bits)
+            if widest[0].data_bits + 6 >= fic_merged_t:
+                host_key = widest
+        flush_a = jnp.asarray(100.0, soft.dtype)
+
+        fic_bits = None
         for (profile, slice_bits, padding_bits), cfgs in groups.items():
             logicals = []
             for cfg in cfgs:
@@ -146,29 +189,75 @@ class ReceiveStep:
                 if padding_bits else logical
             n_bits = profile.data_bits
             mother = depuncture(body, profile).reshape(-1, n_bits + 6, 4)
-            bits = viterbi_decode(mother, n_bits)
-            by = _descramble_pack(bits, n_bits)
+            n_msc = mother.shape[0]
+            if (profile, slice_bits, padding_bits) == host_key:
+                n_rows = fic_mother.shape[0] // g
+                fm = fic_mother.reshape(n_rows, g, fic_t, 4)
+                parts = []
+                sep = jnp.full((n_rows, 6, 4), flush_a, mother.dtype)
+                for i in range(g):
+                    parts.append(fm[:, i])
+                    if i < g - 1:
+                        parts.append(sep)
+                pad = (n_bits + 6) - fic_merged_t
+                if pad:
+                    parts.append(jnp.full((n_rows, pad, 4), flush_a,
+                                          mother.dtype))
+                merged = jnp.concatenate(parts, axis=1)
+                mother = jnp.concatenate([mother, merged], axis=0)
+            if (profile, slice_bits, padding_bits) == host_key:
+                # merged rows are not byte-aligned (780-step stride): decode
+                # to bits and pack explicitly for this group only
+                bits = viterbi_decode(mother, n_bits)
+                fic_rows = bits[n_msc:]
+                fic_bits = jnp.concatenate(
+                    [fic_rows[:, i * (fic_t + 6): i * (fic_t + 6) + fic_nbits]
+                     for i in range(g)], axis=0
+                ).reshape(g, -1, fic_nbits).swapaxes(0, 1).reshape(-1, fic_nbits)
+                by = _descramble_pack(bits[:n_msc], n_bits)
+            else:
+                by = _decode_descramble(mother, n_bits)
             by = by.reshape((len(cfgs), e, c, -1) if e > 1
                             else (len(cfgs), c, -1))
             for i, cfg in enumerate(cfgs):
                 subch_out[cfg.subch_id] = by[i]
 
+        if fic_bits is None:  # FIC not merged: standalone decode to bytes
+            fic_bytes = _decode_descramble(fic_mother, fic_nbits)
+            fic_bytes = fic_bytes.reshape(e, f * g, -1) if e > 1 else fic_bytes
+        else:
+            fic_bytes = pack_fic(fic_bits)
+
         outputs = {"fic_bytes": fic_bytes, "subch": subch_out,
                    "mean_power": stats["mean_power"]}
         return new_carry, outputs
 
+    def _ensure_tiled(self, x):
+        """Accept flat (.., frame_len) frames too; hot-path callers should
+        tile on the host instead (np reshape is free, device reshape isn't)."""
+        if x.shape[-1] != 128:
+            x = x.reshape(x.shape[:-1]
+                          + (self.params.nb_frame_length // 128, 128))
+        return x
+
     def __call__(self, carry, frames_re, frames_im, freq_hz):
-        return self._fn(carry, frames_re, frames_im, freq_hz)
+        return self._fn(carry, self._ensure_tiled(frames_re),
+                        self._ensure_tiled(frames_im), freq_hz)
+
+    def tile_frames(self, frames_flat: np.ndarray) -> np.ndarray:
+        """Host-side free reshape (..., frame_len) -> (..., len//128, 128)."""
+        return np.asarray(frames_flat).reshape(
+            frames_flat.shape[:-1] + (self.params.nb_frame_length // 128, 128))
 
     def call_complex(self, carry, frames, freq_hz):
         """Convenience wrapper for complex64 host buffers."""
-        frames = np.asarray(frames)
-        return self._fn(carry, jnp.asarray(frames.real),
-                        jnp.asarray(frames.imag), freq_hz)
+        frames = self.tile_frames(np.asarray(frames))
+        return self._fn(carry, jnp.asarray(frames.real.astype(np.float32)),
+                        jnp.asarray(frames.imag.astype(np.float32)), freq_hz)
 
     def example_args(self, n_frames: int = 4, seed: int = 0):
         rng = np.random.default_rng(seed)
-        shape = (n_frames, self.params.nb_frame_length)
+        shape = (n_frames, self.params.nb_frame_length // 128, 128)
         if self.n_ensembles > 1:
             shape = (self.n_ensembles,) + shape
         re = rng.standard_normal(shape).astype(np.float32)

@@ -107,11 +107,27 @@ def _dense_demod_matrix(mode: int):
     return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
 
 
+def _use_carve_kernel() -> bool:
+    """Pallas carve kernel on real TPU backends; XLA slices elsewhere.
+    Override with TPUDAB_CARVE=pallas|xla."""
+    import os
+    force = os.environ.get("TPUDAB_CARVE", "").lower()
+    if force == "pallas":
+        return True
+    if force == "xla":
+        return False
+    try:
+        return jax.devices()[0].platform.lower() not in ("cpu", "")
+    except Exception:
+        return False
+
+
 @functools.partial(jax.jit, static_argnames=("mode", "window_offset",
-                                             "dft_dtype"))
+                                             "dft_dtype", "out_dtype"))
 def demod_frames_split(frames_re, frames_im, freq_offset_hz, mode: int = 1,
                        window_offset: int = 12,
-                       dft_dtype: str = "bfloat16"):
+                       dft_dtype: str = "bfloat16",
+                       out_dtype: str = "float32"):
     """Complex-free demod: split re/im float32 in, soft bits out.
 
     Numerically equivalent to demod_frames but TPU-first: no complex dtype
@@ -119,6 +135,15 @@ def demod_frames_split(frames_re, frames_im, freq_offset_hz, mode: int = 1,
     MXU matmul per split part (see _dense_demod_matrix), and the PLL/NCO
     rotation is applied only to the FFT windows (the null symbol and the
     unused cyclic-prefix samples never enter the compute).
+
+    Input frames may be (F, nb_frame_length) or the lane-tiled
+    (F, nb_frame_length//128, 128) form. HOT-PATH CALLERS MUST PASS THE
+    TILED 3D FORM (a free numpy reshape): the 2D device layout differs
+    physically, and reshaping it on device is a measured 2.9 ms relayout
+    at 256 frames on v5e. On TPU the window carve + PLL rotate run as the
+    Pallas kernel tpudab.ops.carve (the misaligned symbol-stride slice is
+    a ~75 GB/s XLA relayout otherwise); on CPU an XLA slice path with
+    identical numerics is used.
 
     dft_dtype: matmul operand precision. "bfloat16" (default) rounds the
     windows and DFT matrix to bf16 with float32 accumulation — per-element
@@ -128,39 +153,55 @@ def demod_frames_split(frames_re, frames_im, freq_offset_hz, mode: int = 1,
     Use "float32" for bit-accurate parity with demod_frames.
     """
     p = get_ofdm_params(mode)
-    f = frames_re.shape[0]
     n_sym, n_fft, n_cp = p.nb_symbols, p.nb_fft, p.nb_cyclic_prefix
-
+    rows_per_win = n_fft // 128
     start = n_cp - window_offset
-
-    def carve(x):
-        sym = x[:, p.nb_null_period:].reshape(f, n_sym, n_fft + n_cp)
-        return sym[:, :, start:start + n_fft]
-
-    wr, wi = carve(frames_re), carve(frames_im)
-
-    # PLL rotate the windows only. Absolute sample time of window sample
-    # (sym, k) is null + sym*(fft+cp) + start + k; the common per-symbol
-    # phase the timing offset induces cancels in the differential demap.
-    freq = jnp.broadcast_to(jnp.asarray(freq_offset_hz, jnp.float32), (f,))
-    t_sym = (p.nb_null_period + start
-             + (n_fft + n_cp) * np.arange(n_sym)) / SAMPLING_RATE
-    t_k = np.arange(n_fft) / SAMPLING_RATE
-    t_abs = (t_sym[:, None] + t_k[None, :]).astype(np.float32)  # (n_sym, n_fft)
-    ph = -2.0 * jnp.pi * freq[:, None, None] * jnp.asarray(t_abs)[None]
-    c, s = jnp.cos(ph), jnp.sin(ph)
-    xr = wr * c - wi * s
-    xi = wr * s + wi * c
-
     dt = jnp.dtype(dft_dtype)
+
+    if frames_re.ndim == 2:
+        f = frames_re.shape[0]
+        re3 = frames_re.reshape(f, p.nb_frame_length // 128, 128)
+        im3 = frames_im.reshape(f, p.nb_frame_length // 128, 128)
+    else:
+        f = frames_re.shape[0]
+        re3, im3 = frames_re, frames_im
+    freq = jnp.broadcast_to(jnp.asarray(freq_offset_hz, jnp.float32), (f,))
+
+    if dft_dtype == "bfloat16" and _use_carve_kernel():
+        from tpudab.ops.carve import carve_rotate
+        xr, xi = carve_rotate(re3, im3, freq, mode, window_offset)
+        ar = xr.reshape(f, n_sym, rows_per_win, 128)
+        ai = xi.reshape(f, n_sym, rows_per_win, 128)
+    else:
+        flat_r = re3.reshape(f, p.nb_frame_length)
+        flat_i = im3.reshape(f, p.nb_frame_length)
+
+        def carve(x):
+            sym = x[:, p.nb_null_period:].reshape(f, n_sym, n_fft + n_cp)
+            return sym[:, :, start:start + n_fft]
+
+        wr, wi = carve(flat_r), carve(flat_i)
+        # PLL rotate the windows only. Absolute sample time of window sample
+        # (sym, k) is null + sym*(fft+cp) + start + k; the common per-symbol
+        # phase the timing offset induces cancels in the differential demap.
+        t_sym = (p.nb_null_period + start
+                 + (n_fft + n_cp) * np.arange(n_sym)) / SAMPLING_RATE
+        t_k = np.arange(n_fft) / SAMPLING_RATE
+        t_abs = (t_sym[:, None] + t_k[None, :]).astype(np.float32)
+        ph = -2.0 * jnp.pi * freq[:, None, None] * jnp.asarray(t_abs)[None]
+        c, s = jnp.cos(ph), jnp.sin(ph)
+        ar = (wr * c - wi * s).astype(dt).reshape(f, n_sym, rows_per_win, 128)
+        ai = (wr * s + wi * c).astype(dt).reshape(f, n_sym, rows_per_win, 128)
+
     wre, wim = _dense_demod_matrix(mode)
-    mre, mim = jnp.asarray(wre, dt), jnp.asarray(wim, dt)
+    mre = jnp.asarray(wre.reshape(rows_per_win, 128, -1), dt)
+    mim = jnp.asarray(wim.reshape(rows_per_win, 128, -1), dt)
     mm = lambda a, b: jax.lax.dot_general(
-        a.astype(dt), b, dimension_numbers=(((2,), (0,)), ((), ())),
+        a, b, dimension_numbers=(((2, 3), (0, 1)), ((), ())),
         preferred_element_type=jnp.float32)
     # (f, n_sym, K) spectra at active carriers, logical order
-    cr = mm(xr, mre) - mm(xi, mim)
-    ci = mm(xr, mim) + mm(xi, mre)
+    cr = mm(ar, mre) - mm(ai, mim)
+    ci = mm(ar, mim) + mm(ai, mre)
 
     # differential demap: z_l * conj(z_{l-1})
     dr = cr[:, 1:, :] * cr[:, :-1, :] + ci[:, 1:, :] * ci[:, :-1, :]
@@ -168,7 +209,9 @@ def demod_frames_split(frames_re, frames_im, freq_offset_hz, mode: int = 1,
 
     soft = jnp.concatenate([dr, di], axis=-1).reshape(f, p.nb_frame_bits)
     norm = jnp.mean(jnp.abs(soft), axis=-1, keepdims=True)
-    soft = soft / jnp.maximum(norm, 1e-20)
+    # out_dtype: the FEC chain consumes bf16 (ReceiveStep.soft_dtype);
+    # emitting it here fuses the downcast into the normalize pass.
+    soft = (soft / jnp.maximum(norm, 1e-20)).astype(jnp.dtype(out_dtype))
 
-    stats = {"mean_power": jnp.mean(frames_re ** 2 + frames_im ** 2, axis=-1)}
-    return soft.astype(jnp.float32), stats
+    stats = {"mean_power": jnp.mean(re3 ** 2 + im3 ** 2, axis=(-2, -1))}
+    return soft, stats

@@ -59,8 +59,11 @@ _K = 2  # radix-2: two trellis steps per ACS iteration
 
 def _fwd_kernel(signs_ref, soft_ref, dec_ref, pm_ref):
     """Grid (b tiles, T2 chunks), chunk minor. Blocks:
-    signs (256, 8) const; soft (chunk, 8, B_t); dec out (chunk, 64, B_t) u8;
-    pm scratch (64, B_t) f32 persists across the chunk axis.
+    signs (256, 8) const; soft (chunk, 8, B_t); dec out (chunk//4, 64, B_t)
+    u8 — 4 super-steps' 2-bit decisions PACKED per byte, step tb+q in bits
+    [6-2q, 8-2q) — so the store + u8 convert amortize over 4 ACS steps and
+    decision HBM shrinks 4x; pm scratch (64, B_t) f32 persists across the
+    chunk axis.
     """
     chunk = soft_ref.shape[0]
     b_t = soft_ref.shape[2]
@@ -72,8 +75,7 @@ def _fwd_kernel(signs_ref, soft_ref, dec_ref, pm_ref):
 
     signs = signs_ref[:]  # (256, 8)
 
-    def body(t, pm):
-        soft_t = soft_ref[t]  # (8, B_t), tile-aligned sublane slice
+    def acs(pm, soft_t):
         bm = jax.lax.dot_general(
             signs, soft_t,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -90,24 +92,32 @@ def _fwd_kernel(signs_ref, soft_ref, dec_ref, pm_ref):
         m23 = jnp.maximum(c2, c3)
         dh = m23 > m01
         new_pm = jnp.maximum(m01, m23)
-        dec = jnp.where(dh, d23 | 2, d01)
-        dec_ref[t] = dec.astype(jnp.uint8)
-        return new_pm
+        return new_pm, jnp.where(dh, d23 | 2, d01)
 
-    pm = lax.fori_loop(0, chunk, body, pm_ref[:])
+    def group(i, pm):
+        acc = None
+        for q in range(4):
+            pm, dec = acs(pm, soft_ref[4 * i + q])
+            dec = dec << (6 - 2 * q)
+            acc = dec if acc is None else acc | dec
+        dec_ref[i] = acc.astype(jnp.uint8)
+        return pm
+
+    pm = lax.fori_loop(0, chunk // 4, group, pm_ref[:])
     # rebase once per chunk: subtracting a per-codeword constant never
     # changes decisions; spread growth over one chunk is << f32 range
     pm_ref[:] = pm - pm[0:1, :]
 
 
-def _tb_kernel(dec_ref, out_ref, state_ref):
-    """Grid (b tiles, T2 chunks) walked with the chunk axis REVERSED via the
-    index maps. Blocks: dec (chunk, 64, B_t) u8; out (chunk, 1, B_t) u8
-    packed (u_{2t}<<1 | u_{2t+1}); state scratch (1, B_t) i32.  The output
-    keeps a unit middle dim so the per-step store indexes the untiled
-    leading dim (dynamic sublane stores are not provably aligned).
-    """
-    chunk = dec_ref.shape[0]
+def _tb_kernel_packed(dec_ref, out_ref, state_ref):
+    """Traceback over byte-packed decisions, emitting 8 decoded bits
+    (4 radix-2 super-steps) per output byte, MSB-first — the natural DAB
+    byte order — so the decoder's output IS the packed byte stream (no
+    separate device-side bit pack). Grid (b tiles, T2 chunks) with the
+    chunk axis REVERSED via the index maps.
+    Blocks: dec (chunk//4, 64, B_t) u8 (packed, see _fwd_kernel);
+    out (chunk//4, 1, B_t) u8; state scratch (1, B_t) i32."""
+    n_groups = dec_ref.shape[0]
     b_t = dec_ref.shape[2]
 
     @pl.when(pl.program_id(1) == 0)
@@ -116,15 +126,51 @@ def _tb_kernel(dec_ref, out_ref, state_ref):
 
     row = jax.lax.broadcasted_iota(jnp.int32, (N_STATES, b_t), 0)
 
-    def body(i, state):
-        t = chunk - 1 - i
-        dec_t = dec_ref[t].astype(jnp.int32)              # (64, B_t)
-        hit = row == state                                # state bcast (1,B_t)
-        j = jnp.sum(jnp.where(hit, dec_t, 0), axis=0, keepdims=True)
-        out_ref[t] = (state & 3).astype(jnp.uint8)
-        return (state >> _K) | (j << (6 - _K))
+    def group(i, state):
+        gb = n_groups - 1 - i
+        dec_b = dec_ref[gb].astype(jnp.int32)              # (64, B_t)
+        acc = jnp.zeros((1, b_t), jnp.int32)
+        for q in range(3, -1, -1):
+            dec_t = (dec_b >> (6 - 2 * q)) & 3
+            hit = row == state
+            j = jnp.sum(jnp.where(hit, dec_t, 0), axis=0, keepdims=True)
+            acc = acc | ((state & 3) << (6 - 2 * q))
+            state = (state >> _K) | (j << (6 - _K))
+        out_ref[gb] = acc.astype(jnp.uint8)
+        return state
 
-    state_ref[:] = lax.fori_loop(0, chunk, body, state_ref[:])
+    state_ref[:] = lax.fori_loop(0, n_groups, group, state_ref[:])
+
+
+def _tb_kernel(dec_ref, out_ref, state_ref):
+    """Per-super-step output variant (used by the bit-level decoder). Grid
+    (b tiles, T2 chunks) with the chunk axis REVERSED via the index maps.
+    Blocks: dec (chunk//4, 64, B_t) u8 (packed); out (chunk, 1, B_t) u8
+    holding (u_{2t}<<1 | u_{2t+1}); state scratch (1, B_t) i32. The output
+    keeps a unit middle dim so the per-step store indexes the untiled
+    leading dim (dynamic sublane stores are not provably aligned).
+    """
+    n_groups = dec_ref.shape[0]
+    b_t = dec_ref.shape[2]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        state_ref[:] = jnp.zeros((1, b_t), jnp.int32)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (N_STATES, b_t), 0)
+
+    def group(i, state):
+        gb = n_groups - 1 - i
+        dec_b = dec_ref[gb].astype(jnp.int32)              # (64, B_t)
+        for q in range(3, -1, -1):
+            dec_t = (dec_b >> (6 - 2 * q)) & 3
+            hit = row == state
+            j = jnp.sum(jnp.where(hit, dec_t, 0), axis=0, keepdims=True)
+            out_ref[4 * gb + q] = (state & 3).astype(jnp.uint8)
+            state = (state >> _K) | (j << (6 - _K))
+        return state
+
+    state_ref[:] = lax.fori_loop(0, n_groups, group, state_ref[:])
 
 
 def _pad_to(x, m, axis, value):
@@ -136,24 +182,19 @@ def _pad_to(x, m, axis, value):
     return jnp.pad(x, pad, constant_values=value)
 
 
-@functools.partial(jax.jit, static_argnames=("n_data_bits", "chunk", "b_tile",
-                                             "interpret"))
-def viterbi_decode_pallas(mother_soft, n_data_bits: int, chunk: int = 64,
-                          b_tile: int | None = None, interpret: bool = False):
-    """Drop-in equivalent of tpudab.ops.viterbi.viterbi_decode.
-
-    mother_soft: (B, T, 4) float32; returns (B, n_data_bits) uint8.
-
-    Measured (TPU v5e, B=6144, T=3462, queued-dispatch timing): 14.4 ms end
-    to end (fwd 10.4 + traceback 2.5 + layout glue) = 1475 Mbit/s payload,
-    vs 27.4 ms for the XLA lax.scan decoder — and the fwd kernel sits at its
-    VPU issue-rate bound (~8 vector ops per 2 trellis steps).
-    """
+def _fwd_decisions(mother_soft, chunk: int, b_tile: int | None,
+                   interpret: bool):
+    """Shared forward pass: returns byte-packed decisions
+    (decs (T2//4, 64, B) u8 — 4 super-steps per byte), plus geometry."""
+    assert chunk % 4 == 0
     b0, t0, _ = mother_soft.shape
     if b_tile is None:
-        # batch lives on the LANE axis: multiples of 128 only
-        b_tile = min(512, 128 * ((b0 + 127) // 128))
-    soft = _pad_to(mother_soft, _K * chunk, axis=1, value=1.0)  # virtual flush
+        # batch lives on the LANE axis: multiples of 128 only. 1024 lanes/
+        # tile measured fastest at production batch (14.1 vs 15.6 ms for
+        # 512 at B=6144, T=3462 on v5e) — fewer grid cells, same VPU work.
+        b_tile = min(1024, 128 * ((b0 + 127) // 128))
+    # pad T so the packed-decision grouping (4 super-steps/byte) is whole
+    soft = _pad_to(mother_soft, _K * 4 * chunk, axis=1, value=1.0)  # flush
     soft = _pad_to(soft, b_tile, axis=0, value=0.0)
     b, t, _ = soft.shape
     t2 = t // _K
@@ -176,19 +217,74 @@ def viterbi_decode_pallas(mother_soft, n_data_bits: int, chunk: int = 64,
             pl.BlockSpec((chunk, 4 * _K, b_tile), lambda j, i: (i, 0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((chunk, N_STATES, b_tile),
+        out_specs=pl.BlockSpec((chunk // 4, N_STATES, b_tile),
                                lambda j, i: (i, 0, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t2, N_STATES, b), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((t2 // 4, N_STATES, b), jnp.uint8),
         scratch_shapes=[pltpu.VMEM((N_STATES, b_tile), jnp.float32)],
         interpret=interpret,
     )(signs, soft_t)
+    return decs, b0, t2, b, b_tile, n_b, n_chunks
+
+
+@functools.partial(jax.jit, static_argnames=("n_data_bits", "chunk", "b_tile",
+                                             "interpret"))
+def viterbi_decode_pallas_bytes(mother_soft, n_data_bits: int,
+                                chunk: int = 32, b_tile: int | None = None,
+                                interpret: bool = False):
+    """Viterbi decode returning MSB-first PACKED BYTES (B, n_data_bits//8).
+
+    The traceback kernel accumulates 8 decoded bits per output byte in
+    registers, so the packed byte stream comes straight out of VMEM — the
+    production path for the receive step, where a separate device-side
+    bit-pack of the (B, n_bits) u8 decisions measured 1.4 ms/step on v5e
+    (padded-layout ops on a (..., 8)-minor reshape).
+    """
+    assert n_data_bits % 8 == 0 and chunk % 4 == 0
+    decs, b0, t2, b, b_tile, n_b, n_chunks = _fwd_decisions(
+        mother_soft, chunk, b_tile, interpret)
+
+    packed = pl.pallas_call(
+        _tb_kernel_packed,
+        grid=(n_b, n_chunks),
+        in_specs=[
+            pl.BlockSpec((chunk // 4, N_STATES, b_tile),
+                         lambda j, i: (pl.num_programs(1) - 1 - i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((chunk // 4, 1, b_tile),
+                               lambda j, i: (pl.num_programs(1) - 1 - i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t2 // 4, 1, b), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((1, b_tile), jnp.int32)],
+        interpret=interpret,
+    )(decs)
+
+    by = jnp.moveaxis(packed[:, 0, :], 0, 1)              # (B, T2//4)
+    return by[:b0, :n_data_bits // 8]
+
+
+@functools.partial(jax.jit, static_argnames=("n_data_bits", "chunk", "b_tile",
+                                             "interpret"))
+def viterbi_decode_pallas(mother_soft, n_data_bits: int, chunk: int = 32,
+                          b_tile: int | None = None, interpret: bool = False):
+    """Drop-in equivalent of tpudab.ops.viterbi.viterbi_decode.
+
+    mother_soft: (B, T, 4) float32; returns (B, n_data_bits) uint8.
+
+    Measured (TPU v5e, B=6144, T=3462, queued-dispatch timing): 14.4 ms end
+    to end (fwd 10.4 + traceback 2.5 + layout glue) = 1475 Mbit/s payload,
+    vs 27.4 ms for the XLA lax.scan decoder — and the fwd kernel sits at its
+    VPU issue-rate bound (~8 vector ops per 2 trellis steps).
+    """
+    decs, b0, t2, b, b_tile, n_b, n_chunks = _fwd_decisions(
+        mother_soft, chunk, b_tile, interpret)
 
     packed = pl.pallas_call(
         _tb_kernel,
         grid=(n_b, n_chunks),
         in_specs=[
-            pl.BlockSpec((chunk, N_STATES, b_tile),
+            pl.BlockSpec((chunk // 4, N_STATES, b_tile),
                          lambda j, i: (pl.num_programs(1) - 1 - i, 0, j),
                          memory_space=pltpu.VMEM),
         ],
@@ -203,7 +299,7 @@ def viterbi_decode_pallas(mother_soft, n_data_bits: int, chunk: int = 64,
     # unpack: byte at super-step t holds (u_{2t} << 1) | u_{2t+1}
     packed = jnp.moveaxis(packed[:, 0, :], 0, 1)          # (B, T2)
     bits = jnp.stack([(packed >> 1) & 1, packed & 1], axis=-1)
-    bits = bits.reshape(b, t)
+    bits = bits.reshape(b, t2 * _K)
     return bits[:b0, :n_data_bits]
 
 
@@ -234,3 +330,13 @@ def viterbi_decode_best(mother_soft, n_data_bits: int):
     if _use_pallas():
         return viterbi_decode_pallas(mother_soft, n_data_bits)
     return viterbi_decode(mother_soft, n_data_bits)
+
+
+def viterbi_decode_bytes_best(mother_soft, n_data_bits: int):
+    """Backend-dispatching Viterbi decode to MSB-first packed bytes
+    (n_data_bits % 8 == 0): in-kernel packing on TPU, scan + pack on CPU."""
+    if _use_pallas():
+        return viterbi_decode_pallas_bytes(mother_soft, n_data_bits)
+    from tpudab.ops.viterbi import viterbi_decode
+    from tpudab.utils.bits import jnp_pack_bits
+    return jnp_pack_bits(viterbi_decode(mother_soft, n_data_bits))

@@ -32,8 +32,8 @@ from tpudab.fec.prbs import prbs_bits
 from tpudab.msc.interleave import deinterleave_batch, TIME_INTERLEAVE_DEPTH
 from tpudab.msc.subchannel import SubchannelConfig
 from tpudab.ofdm.demod import demod_frames_split
-from tpudab.ops.viterbi_pallas import viterbi_decode_best as viterbi_decode
-from tpudab.utils.bits import jnp_pack_bits
+from tpudab.ops.viterbi_pallas import viterbi_decode_bytes_best
+from tpudab.utils.bits import pack_bits
 
 _H = TIME_INTERLEAVE_DEPTH - 1  # 15-CIF halo
 
@@ -64,8 +64,8 @@ class ShardedReceiveStep:
         self._fn = jax.jit(jax.shard_map(
             self._step,
             mesh=self.mesh,
-            in_specs=(carry_spec, P("ensemble", "time", None),
-                      P("ensemble", "time", None), P("ensemble")),
+            in_specs=(carry_spec, P("ensemble", "time", None, None),
+                      P("ensemble", "time", None, None), P("ensemble")),
             out_specs=(out_spec,),
             check_vma=False,
         ))
@@ -84,22 +84,23 @@ class ShardedReceiveStep:
     # ---------------- sharded step body (runs per shard) ----------------
 
     def _step(self, carry, frames_re, frames_im, freq_hz):
-        """Shard-local shapes: frames_re/_im (E_l, T_l, frame_len) float32,
-        freq (E_l,). Complex-free split-real path (tpudab.ops.matfft).
+        """Shard-local shapes: frames_re/_im (E_l, T_l, frame_len//128, 128)
+        float32 (lane-tiled; see demod_frames_split), freq (E_l,).
+        Complex-free split-real path.
 
         Returns dict with shard-local outputs; the 'time' axis is re-inserted
         as a leading size-1 axis per shard so global outputs stack over time.
         """
         p, dab = self.params, self.dab
-        e_l, t_l, _ = frames_re.shape
+        e_l, t_l = frames_re.shape[:2]
         assert t_l * dab.nb_cifs >= _H, (
             f"need >= {-(-_H // dab.nb_cifs)} frames per time shard so the "
             f"15-CIF deinterleaver halo fits in one neighbor exchange "
             f"(got {t_l})")
         t_idx = lax.axis_index("time")
 
-        flat_re = frames_re.reshape(e_l * t_l, p.nb_frame_length)
-        flat_im = frames_im.reshape(e_l * t_l, p.nb_frame_length)
+        flat_re = frames_re.reshape(e_l * t_l, p.nb_frame_length // 128, 128)
+        flat_im = frames_im.reshape(e_l * t_l, p.nb_frame_length // 128, 128)
         freq_rep = jnp.repeat(freq_hz, t_l)
         soft, _ = demod_frames_split(flat_re, flat_im, freq_rep, self.mode,
                                      self.window_offset)
@@ -111,9 +112,9 @@ class ShardedReceiveStep:
         groups = soft[:, : dab.nb_fic_bits].reshape(
             e_l * t_l * g, dab.nb_fic_bits_per_group)
         mother = depuncture(groups, fic_profile).reshape(-1, n_bits + 6, 4)
-        fic_bits = viterbi_decode(mother, n_bits)
-        prbs = jnp.asarray(prbs_bits(n_bits))
-        fic_bytes = jnp_pack_bits(fic_bits ^ prbs).reshape(e_l, 1, t_l * g, -1)
+        prbs_by = jnp.asarray(pack_bits(prbs_bits(n_bits)))
+        fic_bytes = (viterbi_decode_bytes_best(mother, n_bits)
+                     ^ prbs_by).reshape(e_l, 1, t_l * g, -1)
 
         # MSC with halo exchange over 'time'
         c_l = t_l * dab.nb_cifs
@@ -139,10 +140,10 @@ class ShardedReceiveStep:
             body = logical[..., : cfg.slice_bits - cfg.padding_bits] \
                 if cfg.padding_bits else logical
             mother = depuncture(body.reshape(e_l * c_l, -1), cfg.profile)
-            bits = viterbi_decode(mother.reshape(e_l * c_l, cfg.data_bits + 6, 4),
-                                  cfg.data_bits)
-            prbs_s = jnp.asarray(prbs_bits(cfg.data_bits))
-            by = jnp_pack_bits(bits ^ prbs_s).reshape(e_l, 1, c_l, -1)
+            prbs_s = jnp.asarray(pack_bits(prbs_bits(cfg.data_bits)))
+            by = (viterbi_decode_bytes_best(
+                mother.reshape(e_l * c_l, cfg.data_bits + 6, 4),
+                cfg.data_bits) ^ prbs_s).reshape(e_l, 1, c_l, -1)
             subch_out[cfg.subch_id] = by
             tails[cfg.subch_id] = tail.reshape(e_l, 1, _H, cfg.slice_bits)
 
@@ -151,9 +152,9 @@ class ShardedReceiveStep:
     # ---------------- host-facing call ----------------
 
     def __call__(self, carry, frames_re, frames_im, freq_hz):
-        """frames_re/_im: (E, T_total, frame_len) float32, T_total divisible
-        by the time-mesh size. Returns (new_carry, outputs) where outputs'
-        logical ordering over time is contiguous per ensemble.
+        """frames_re/_im: (E, T_total, frame_len//128, 128) float32 (tiled),
+        T_total divisible by the time-mesh size. Returns (new_carry, outputs)
+        where outputs' logical ordering over time is contiguous per ensemble.
         """
         (out,) = self._fn(carry, frames_re, frames_im, freq_hz)
         e = frames_re.shape[0]
@@ -167,10 +168,14 @@ class ShardedReceiveStep:
         return new_carry, {"fic_bytes": fic, "subch": subch}
 
     def shard_inputs(self, frames, freq_hz):
-        """frames: complex (E, T, len) host array -> sharded split re/im."""
-        fs = NamedSharding(self.mesh, P("ensemble", "time", None))
+        """frames: complex (E, T, len) host array -> sharded, lane-tiled
+        split re/im (the reshape is free on host)."""
+        fs = NamedSharding(self.mesh, P("ensemble", "time", None, None))
         qs = NamedSharding(self.mesh, P("ensemble"))
         frames = np.asarray(frames)
-        return (jax.device_put(jnp.asarray(frames.real, jnp.float32), fs),
-                jax.device_put(jnp.asarray(frames.imag, jnp.float32), fs),
+        e, t = frames.shape[:2]
+        tiled = (e, t, self.params.nb_frame_length // 128, 128)
+        re = np.ascontiguousarray(frames.real, dtype=np.float32).reshape(tiled)
+        im = np.ascontiguousarray(frames.imag, dtype=np.float32).reshape(tiled)
+        return (jax.device_put(re, fs), jax.device_put(im, fs),
                 jax.device_put(jnp.asarray(freq_hz), qs))

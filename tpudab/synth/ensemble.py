@@ -123,6 +123,22 @@ class _FIGWriter:
         assert 1 <= len(payload) <= 29
         self.figs.append(bytes([(fig_type << 5) | len(payload)]) + payload)
 
+    def add_list(self, fig_type: int, header: bytes, items: list):
+        """Add a list-structured FIG (e.g. FIG 0/1 subchannel org, 0/2
+        service org), SEGMENTING across multiple FIGs when the entries
+        exceed the 29-byte FIG payload limit — as real multiplexes do
+        (EN 300 401 sec 5.2: a FIG carries as many complete entries as
+        fit; receivers accumulate across FIGs)."""
+        body = bytearray(header)
+        for it in items:
+            assert len(header) + len(it) <= 29, "single entry exceeds a FIG"
+            if len(body) + len(it) > 29:
+                self.add(fig_type, bytes(body))
+                body = bytearray(header)
+            body += it
+        if len(body) > len(header):
+            self.add(fig_type, bytes(body))
+
     def pack_fibs(self, n_fibs: int) -> np.ndarray:
         """Greedy first-fit packing into n_fibs FIBs of 30 data bytes."""
         fibs = []
@@ -177,47 +193,51 @@ class EnsembleSynthesizer:
         w.add(0, bytes([0x00,
                         spec.ensemble_id >> 8, spec.ensemble_id & 0xFF,
                         (0 << 6) | (0 << 5) | hi, lo]))
-        # FIG 0/1 subchannel organization (long form EEP / short form UEP)
+        # FIG 0/1 subchannel organization (long form EEP / short form UEP),
+        # segmented across FIGs when the ensemble has many subchannels
         uep_index = get_uep_index_table()
-        body = bytearray([0x01])
+        items = []
         for sub in spec.subchannels:
-            body += bytes([(sub.subch_id << 2) | (sub.start_cu >> 8), sub.start_cu & 0xFF])
+            it = bytes([(sub.subch_id << 2) | (sub.start_cu >> 8),
+                        sub.start_cu & 0xFF])
             kind = sub.protection[0]
             if kind == "eep":
                 level, option = sub.protection[1], sub.protection[2]
                 b0 = 0x80 | (option << 4) | ((level - 1) << 2) | (sub.size_cu >> 8)
-                body += bytes([b0, sub.size_cu & 0xFF])
+                it += bytes([b0, sub.size_cu & 0xFF])
             else:
                 idx = uep_index[(sub.protection[1], sub.protection[2])]
-                body += bytes([idx & 0x3F])
-        w.add(0, bytes(body))
-        # FIG 0/2 service organization
-        body = bytearray([0x02])
+                it += bytes([idx & 0x3F])
+            items.append(it)
+        w.add_list(0, bytes([0x01]), items)
+        # FIG 0/2 service organization (segmented per complete service)
+        items = []
         packet_comps = []
         for svc in spec.services:
-            body += bytes([svc.service_id >> 8, svc.service_id & 0xFF])
-            body += bytes([len(svc.components) & 0x0F])
+            it = bytes([svc.service_id >> 8, svc.service_id & 0xFF,
+                        len(svc.components) & 0x0F])
             for (tmid, ty, subch_id) in svc.components:
                 ps, ca = 1, 0  # primary component, no conditional access
                 if tmid == TMID_PACKET_DATA:
                     # SCId == subch_id by synth convention; FIG 0/3 links it
                     scid = subch_id
-                    body += bytes([(tmid << 6) | ((scid >> 6) & 0x3F),
-                                   ((scid & 0x3F) << 2) | (ps << 1) | ca])
+                    it += bytes([(tmid << 6) | ((scid >> 6) & 0x3F),
+                                 ((scid & 0x3F) << 2) | (ps << 1) | ca])
                     packet_comps.append((scid, ty, subch_id))
                 else:
-                    body += bytes([(tmid << 6) | (ty & 0x3F),
-                                   (subch_id << 2) | (ps << 1) | ca])
-        w.add(0, bytes(body))
+                    it += bytes([(tmid << 6) | (ty & 0x3F),
+                                 (subch_id << 2) | (ps << 1) | ca])
+            items.append(it)
+        w.add_list(0, bytes([0x02]), items)
         # FIG 0/3 packet-mode component info: SCId -> subchannel + DSCTy
         if packet_comps:
-            body = bytearray([0x03])
+            items = []
             for (scid, dscty, subch_id) in packet_comps:
                 dg_flag = 0
-                body += bytes([(scid >> 4) & 0xFF, ((scid & 0x0F) << 4),
-                               (dg_flag << 7) | (dscty & 0x3F),
-                               (subch_id << 2), 0x02])  # packet address 2
-            w.add(0, bytes(body))
+                items.append(bytes([(scid >> 4) & 0xFF, ((scid & 0x0F) << 4),
+                                    (dg_flag << 7) | (dscty & 0x3F),
+                                    (subch_id << 2), 0x02]))  # packet addr 2
+            w.add_list(0, bytes([0x03]), items)
         # FIG 0/9 country/LTO/ECC + international table
         w.add(0, bytes([0x09, (0 << 7) | (abs(spec.lto_half_hours) & 0x3F),
                         spec.ecc, spec.inter_table_id]))
