@@ -347,12 +347,11 @@ def cmd_stream(args) -> int:
 
 
 def cmd_info(args) -> int:
-    # NumPy acquisition mirror: the jnp acquire path needs complex64, which
-    # the axon TPU backend does not implement (see STATUS.md); every other
-    # command already routes acquisition through sync_np.
-    from tpudab.ofdm.sync_np import acquire_np
+    # Device-native acquisition (split-real, no complex64 — runs on the
+    # axon TPU backend; tpudab.ofdm.sync_device).
+    from tpudab.ofdm.sync_device import acquire_host
     iq = _load_iq(args.path, args.format)
-    res = acquire_np(iq[: min(iq.shape[0], 4 * 196608)])
+    res = acquire_host(iq[: min(iq.shape[0], 4 * 196608)])
     for k, v in res.items():
         print(f"{k}: {v}")
     return 0

@@ -20,8 +20,8 @@ import numpy as np
 
 from tpudab.constants.ofdm_params import get_ofdm_params, SAMPLING_RATE
 from tpudab.ofdm.sync import SyncConfig
-from tpudab.ofdm.sync_np import (acquire_np, fine_freq_estimate_np,
-                                 fine_time_sync_np)
+from tpudab.ofdm.sync_device import (acquire_host, fine_freq_device,
+                                     fine_time_sync_device)
 from tpudab.ofdm.demod import demod_frames_split
 from tpudab.models.receiver import Receiver
 from tpudab.audio.pipeline import AudioPipeline
@@ -89,7 +89,7 @@ class StreamingRadio:
         buf = self._fill(3 * p.nb_frame_length)
         if buf.shape[0] < 2 * p.nb_frame_length:
             return False
-        res = acquire_np(buf, self.mode, self.sync_cfg)
+        res = acquire_host(buf, self.mode, self.sync_cfg.max_coarse_bins)
         self.stats.net_freq_hz = res["net_freq_hz"]
         self.stats.coarse_freq_hz = res["coarse_hz"]
         self.stats.fine_freq_hz = res["fine_hz"]
@@ -99,18 +99,20 @@ class StreamingRadio:
 
     def _timing_recheck(self, frames: np.ndarray) -> int:
         """PRS matched filter around the nominal position of the last frame;
-        returns a small sample adjustment (clamped)."""
+        returns a small sample adjustment (clamped). Runs on device
+        (tpudab.ofdm.sync_device, split-real)."""
         p = self.params
         search = 64
         frame = frames[-1]
         seg_start = p.nb_null_period + p.nb_cyclic_prefix - search
         seg_len = 2 * search + p.nb_fft
         seg = frame[seg_start : seg_start + seg_len]
-        t = np.arange(seg_len, dtype=np.float32) / SAMPLING_RATE
-        rot = np.exp(-2j * np.pi * self.stats.net_freq_hz * t).astype(np.complex64)
-        peak, q = fine_time_sync_np(seg * rot, self.mode, search)
-        off = int(peak) - search
-        return int(np.clip(off, -8, 8)) if float(q) > 3.0 else 0
+        peak, q = fine_time_sync_device(
+            np.ascontiguousarray(seg.real, np.float32)[None],
+            np.ascontiguousarray(seg.imag, np.float32)[None],
+            np.float32(self.stats.net_freq_hz), self.mode, search)
+        off = int(np.asarray(peak)[0]) - search
+        return int(np.clip(off, -8, 8)) if float(np.asarray(q)[0]) > 3.0 else 0
 
     # ---------------- main loop ----------------
 
@@ -143,12 +145,12 @@ class StreamingRadio:
 
             # fine-frequency tracking: estimate the small RESIDUAL after full
             # net correction (avoids +/-half-carrier wrap at the boundary),
-            # EMA'd with the reference's fine_freq_update_beta analog
-            resid = fine_freq_estimate_np(
-                frames[-1] * np.exp(
-                    -2j * np.pi * self.stats.net_freq_hz
-                    * np.arange(p.nb_frame_length, dtype=np.float32)
-                    / SAMPLING_RATE).astype(np.complex64), self.mode)
+            # EMA'd with the reference's fine_freq_update_beta analog;
+            # the estimator runs on device (split-real CP autocorrelation)
+            resid = float(np.asarray(fine_freq_device(
+                np.ascontiguousarray(frames[-1].real, np.float32)[None],
+                np.ascontiguousarray(frames[-1].imag, np.float32)[None],
+                np.float32(self.stats.net_freq_hz), self.mode))[0])
             beta = cfg.fine_freq_beta
             self.stats.fine_freq_hz += (1 - beta) * resid
             self.stats.net_freq_hz = (self.stats.coarse_freq_hz

@@ -17,7 +17,7 @@ import numpy as np
 
 from tpudab.constants.ofdm_params import get_ofdm_params
 from tpudab.ofdm.sync import SyncConfig
-from tpudab.ofdm.sync_np import acquire_np
+from tpudab.ofdm.sync_device import acquire_host
 from tpudab.ofdm.demod import demod_frames_split
 from tpudab.models.receiver import Receiver, AudioChannelOutput
 
@@ -106,7 +106,8 @@ class OfflinePipeline:
         if n < 2 * p.nb_frame_length:
             raise ValueError("need at least 2 frames of IQ for acquisition")
 
-        res = acquire_np(iq[: 4 * p.nb_frame_length], self.mode, self.sync_cfg)
+        res = acquire_host(iq[: 4 * p.nb_frame_length], self.mode,
+                           self.sync_cfg.max_coarse_bins)
         self.stats.net_freq_hz = res["net_freq_hz"]
         self.stats.frame_start = res["frame_start"]
         start = res["frame_start"]
@@ -151,8 +152,8 @@ class OfflinePipeline:
             if errs == batch_fibs and pos + 2 * p.nb_frame_length <= n:
                 self.stats.total_frames_desync += nf
                 self.stats.reacquisitions += 1
-                res = acquire_np(iq[pos : pos + 4 * p.nb_frame_length],
-                                 self.mode, self.sync_cfg)
+                res = acquire_host(iq[pos : pos + 4 * p.nb_frame_length],
+                                   self.mode, self.sync_cfg.max_coarse_bins)
                 pos += res["frame_start"]
                 self.stats.net_freq_hz = res["net_freq_hz"]
 

@@ -1,11 +1,11 @@
 """Pure-NumPy acquisition (host CPU), mirroring tpudab.ofdm.sync.
 
-Acquisition runs once per capture (plus on resync), so it is not a
-throughput path; this mirror exists because the experimental axon TPU
-runtime lacks complex64 — with it, the entire receive chain works with the
-device touching only split-real arrays, and acquisition stays on the host.
-Estimator-for-estimator identical math to sync.py (which remains the jitted
-variant used on CPU/GPU backends and in tests).
+DEMOTED TO TEST ORACLE (round 2): production acquisition is
+tpudab.ofdm.sync_device — split-real, batched over ensembles, jitted, and
+runnable on TPU backends without complex64 (it acquires all N ensembles of
+a chip in one ~13 ms device call at B=16 on v5e). This NumPy mirror and the
+complex-jnp tpudab.ofdm.sync remain as independent oracles for parity tests
+(tests/test_sync_device.py, tests/test_host.py).
 """
 
 from __future__ import annotations
