@@ -155,3 +155,24 @@ def test_carve_rotate_kernel_matches_xla():
     wr, wi = carve(re), carve(im)
     np.testing.assert_allclose(xr, wr * c - wi * s, atol=0.03)
     np.testing.assert_allclose(xi, wr * s + wi * c, atol=0.03)
+
+
+def test_constellation_tap_and_snr():
+    """demod exposes a decimated DQPSK constellation; the SNR estimate
+    tracks the impairment level and the ASCII render shows 4 clusters."""
+    from tpudab.ofdm.demod import demod_frames_split
+    from tpudab.host.dashboard import constellation_snr_db, render_constellation
+    frame, _ = _frame_and_bits(seed=31)
+    iq_hi = apply_impairments(frame, Impairments(snr_db=30, seed=1))[None, :196608]
+    iq_lo = apply_impairments(frame, Impairments(snr_db=8, seed=2))[None, :196608]
+    snrs = []
+    for iq in (iq_hi, iq_lo):
+        _, stats = demod_frames_split(iq.real.astype(np.float32),
+                                      iq.imag.astype(np.float32), 0.0)
+        cre, cim = np.asarray(stats["const_re"]), np.asarray(stats["const_im"])
+        assert cre.shape == cim.shape and cre.shape[0] >= 256
+        snrs.append(constellation_snr_db(cre, cim))
+        art = render_constellation(cre, cim)
+        assert len(art.split("\n")) == 11
+    assert snrs[0] > snrs[1] > 3.0
+    assert snrs[0] > 20.0

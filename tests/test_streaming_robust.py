@@ -1,0 +1,90 @@
+"""Streaming robustness: sample-clock drift tracking + graded desync
+(VERDICT round-1 #6). The reference's sample-serial state machine re-locks
+timing continuously; the block streaming loop must do the same via the
+per-batch PRS timing recheck, and must resync on a PARTIALLY broken lock
+(graded FIB error-rate trigger), not only on a full blackout."""
+
+import numpy as np
+import pytest
+
+from tpudab.synth import (EnsembleSpec, ServiceSpec, SubchannelSpec,
+                          EnsembleSynthesizer, ASCTY_DAB_PLUS)
+from tpudab.synth.modulator import (Impairments, apply_impairments,
+                                    modulate_frame_bits)
+from tpudab.host.streaming import StreamingRadio
+
+
+def _capture(n_frames: int, seed: int = 7) -> np.ndarray:
+    spec = EnsembleSpec(
+        ensemble_id=0x77AA, label="Drift Mux",
+        services=[ServiceSpec(0xD222, "Drifty", [(0, ASCTY_DAB_PLUS, 2)])],
+        subchannels=[SubchannelSpec(2, start_cu=0, size_cu=24,
+                                    protection=("eep", 3, 0))])
+    synth = EnsembleSynthesizer(spec, seed=seed)
+    return np.concatenate([modulate_frame_bits(synth.frame_bits(i))
+                           for i in range(n_frames)])
+
+
+def _buffer_source(iq: np.ndarray):
+    state = {"pos": 0}
+
+    def source(n):
+        lo = state["pos"]
+        state["pos"] = min(lo + n, iq.shape[0])
+        return iq[lo: state["pos"]]
+
+    return source
+
+
+def _run(iq, **kw):
+    radio = StreamingRadio(_buffer_source(iq), **kw)
+    radio.run()
+    return radio
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("ppm", [100.0, -100.0])
+def test_clock_drift_holds_lock(ppm):
+    """+-100 ppm sample-clock offset over a long capture: the per-batch PRS
+    timing recheck must keep the lock (drift is ~19.7 samples/frame at
+    100 ppm — far beyond the old +-8-per-8-batches clamp)."""
+    iq = _capture(18)
+    iq = apply_impairments(iq, Impairments(freq_offset_hz=800.0, snr_db=22,
+                                           clock_ppm=ppm, seed=3))
+    radio = _run(iq, batch_frames=2)
+    st = radio.receiver.stats
+    assert radio.stats.total_frames >= 14
+    err_rate = st["fib_crc_errors"] / max(st["fibs"], 1)
+    assert err_rate < 0.1, (err_rate, radio.stats)
+    assert radio.stats.timing_adjustments >= 2  # it actually tracked
+    assert radio.receiver.db.ensemble.label == "Drift Mux"
+
+
+@pytest.mark.slow
+def test_graded_desync_recovers_from_half_broken_lock():
+    """Shift the stream mid-capture by half a symbol WITHOUT a blackout:
+    FIB errors go high but not necessarily 100%; the graded EMA trigger
+    must reacquire instead of decoding garbage forever."""
+    iq = _capture(16)
+    iq = apply_impairments(iq, Impairments(snr_db=20, seed=4))
+    lo = 6 * 196608 + 999
+    broken = np.concatenate([iq[:lo], iq[lo + 1300:]])  # drop 1300 samples
+    radio = _run(broken, batch_frames=2)
+    assert radio.stats.reacquisitions >= 1
+    st = radio.receiver.stats
+    ok = st["fibs"] - st["fib_crc_errors"]
+    assert ok >= 10 * 12  # decoded fine before AND after the break
+
+
+@pytest.mark.slow
+def test_snr_sweep_streaming():
+    """Lock and decode across an SNR sweep; at 6 dB the FIC must still be
+    essentially clean (rate-1/3 FIC + soft Viterbi margin)."""
+    iq = _capture(8)
+    for snr in (20.0, 10.0, 6.0):
+        noisy = apply_impairments(iq, Impairments(freq_offset_hz=-1500.0,
+                                                  snr_db=snr, seed=int(snr)))
+        radio = _run(noisy, batch_frames=2)
+        st = radio.receiver.stats
+        err_rate = st["fib_crc_errors"] / max(st["fibs"], 1)
+        assert err_rate < 0.05, (snr, err_rate)

@@ -15,6 +15,45 @@ from typing import Optional
 
 from tpudab.constants.tables import programme_type_str, language_str
 
+import numpy as np
+
+
+def constellation_snr_db(re, im) -> float:
+    """SNR estimate from DQPSK constellation phase spread: z^4 folds the
+    four points onto one phase (pi); the residual angle spread / 4 is the
+    per-component phase noise, SNR ~= -20 log10(sigma_phase)."""
+    re = np.asarray(re, np.float64)
+    im = np.asarray(im, np.float64)
+    z = re + 1j * im
+    mag = np.abs(z)
+    ok = mag > 1e-9
+    if ok.sum() < 8:
+        return 0.0
+    z4 = (z[ok] / mag[ok]) ** 4
+    dev = np.angle(z4 * np.exp(-1j * np.angle(z4.mean())))
+    sigma = max(float(dev.std()) / 4.0, 1e-4)
+    return float(-20.0 * np.log10(sigma))
+
+
+def render_constellation(re, im, rows: int = 11, cols: int = 23,
+                         half_range: float = 2.0) -> str:
+    """Tiny ASCII density scatter of the DQPSK constellation (the
+    reference's ImGui scatter, render_radio_block.cpp:887-918)."""
+    re = np.asarray(re)
+    im = np.asarray(im)
+    grid = np.zeros((rows, cols), np.int32)
+    xi = np.clip(((re / half_range + 1) * 0.5 * (cols - 1)).astype(int), 0, cols - 1)
+    yi = np.clip(((1 - im / half_range) * 0.5 * (rows - 1)).astype(int), 0, rows - 1)
+    np.add.at(grid, (yi, xi), 1)
+    shades = " .:+*#@"
+    peak = max(int(grid.max()), 1)
+    out = []
+    for r in range(rows):
+        row = "".join(shades[min(len(shades) - 1, g * (len(shades) - 1) // peak)]
+                      for g in grid[r])
+        out.append("|" + row + "|")
+    return "\n".join(out)
+
 
 def render_text(receiver, stats=None, audio=None, width: int = 78) -> str:
     """Build the full status screen as a string (testable, UI-agnostic)."""
@@ -36,7 +75,13 @@ def render_text(receiver, stats=None, audio=None, width: int = 78) -> str:
             f" frames={getattr(stats, 'total_frames', 0)} "
             f"desync={getattr(stats, 'total_frames_desync', 0)} "
             f"reacq={getattr(stats, 'reacquisitions', 0)} "
-            f"timing_adj={getattr(stats, 'timing_adjustments', 0)}")
+            f"timing_adj={getattr(stats, 'timing_adjustments', 0)} "
+            f"snr~{getattr(stats, 'snr_db', 0.0):.1f} dB")
+        cre = getattr(stats, "const_re", None)
+        if cre is not None and getattr(stats, "const_im", None) is not None:
+            lines.append(" constellation:")
+            lines.extend("   " + l for l in render_constellation(
+                cre, getattr(stats, "const_im")).split("\n"))
     fibs = receiver.stats.get("fibs", 0)
     errs = receiver.stats.get("fib_crc_errors", 0)
     rate = 100.0 * (1 - errs / fibs) if fibs else 0.0

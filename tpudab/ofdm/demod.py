@@ -213,5 +213,17 @@ def demod_frames_split(frames_re, frames_im, freq_offset_hz, mode: int = 1,
     # emitting it here fuses the downcast into the normalize pass.
     soft = (soft / jnp.maximum(norm, 1e-20)).astype(jnp.dtype(out_dtype))
 
-    stats = {"mean_power": jnp.mean(re3 ** 2 + im3 ** 2, axis=(-2, -1))}
+    # constellation tap (reference analog: OFDM_Demod::GetFrameDataVec,
+    # /root/reference/src/render_radio_block.cpp:109-110,887-918): a
+    # decimated slice of the last frame's differential symbols, normalized
+    # to unit RMS — DQPSK points at +-pi/4, +-3pi/4. Nearly free: dr/di are
+    # already materialized.
+    n_pts = 480
+    stride = max(1, ((p.nb_symbols - 1) * dr.shape[-1]) // n_pts)
+    cr_pts = dr[-1].reshape(-1)[::stride][:n_pts]
+    ci_pts = di[-1].reshape(-1)[::stride][:n_pts]
+    scale = jax.lax.rsqrt(jnp.mean(cr_pts ** 2 + ci_pts ** 2) + 1e-20)
+
+    stats = {"mean_power": jnp.mean(re3 ** 2 + im3 ** 2, axis=(-2, -1)),
+             "const_re": cr_pts * scale, "const_im": ci_pts * scale}
     return soft, stats

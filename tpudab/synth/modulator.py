@@ -69,12 +69,26 @@ class Impairments:
     snr_db: float | None = None     # AWGN SNR vs unit signal power; None = clean
     amplitude: float = 1.0
     phase: float = 0.0
+    clock_ppm: float = 0.0          # receiver sample-clock offset in ppm:
+                                    # +x means the RX clock runs x ppm fast,
+                                    # so the signal appears stretched
     seed: int = 0
 
 
 def apply_impairments(iq: np.ndarray, imp: Impairments,
                       sampling_rate: float = SAMPLING_RATE) -> np.ndarray:
     x = np.asarray(iq, dtype=np.complex64)
+    if imp.clock_ppm:
+        # receiver sample clock off by `clock_ppm`: resample the signal on
+        # the receiver's time grid t_rx[k] = k / (1 + ppm*1e-6). Linear
+        # interpolation (~-40 dB images) is ample for test SNRs; drift is
+        # ppm*1e-6 * 2.048e6 samples/s (e.g. ~205 samp/s at 100 ppm).
+        ratio = 1.0 / (1.0 + imp.clock_ppm * 1e-6)
+        n_out = int(np.floor((x.shape[0] - 1) / ratio)) + 1
+        t_rx = np.arange(n_out, dtype=np.float64) * ratio
+        x = (np.interp(t_rx, np.arange(x.shape[0]), x.real)
+             + 1j * np.interp(t_rx, np.arange(x.shape[0]), x.imag)
+             ).astype(np.complex64)
     if imp.delay_samples:
         x = np.concatenate([np.zeros(imp.delay_samples, dtype=np.complex64), x])
     n = np.arange(x.shape[0], dtype=np.float64)
