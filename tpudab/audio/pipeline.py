@@ -118,9 +118,20 @@ class AudioPipeline:
     def __init__(self, sink_rate: int = 48_000):
         self.sink_rate = sink_rate
         self.global_gain = 1.0
+        self.muted = False
         self._sources: Dict[int, AudioPipelineSource] = {}
         self._resamplers: Dict[int, Resampler] = {}
+        self._source_gain: Dict[int, float] = {}
         self._lock = threading.Lock()
+
+    # per-source volume/mute/boost (reference: render_radio_block.cpp
+    # :842-885 volume sliders + mute + boost per channel and global)
+    def set_source_gain(self, key: int, gain: float) -> None:
+        with self._lock:
+            self._source_gain[key] = float(gain)
+
+    def get_source_gain(self, key: int) -> float:
+        return self._source_gain.get(key, 1.0)
 
     def add_source(self, key: int) -> AudioPipelineSource:
         with self._lock:
@@ -156,7 +167,9 @@ class AudioPipeline:
             need_src = int(np.ceil(n_samples * rate / self.sink_rate)) + 2
             resampled = rs.process(src.read(need_src))
             m = min(n_samples, resampled.shape[0])
-            out[:m] += resampled[:m]
+            out[:m] += resampled[:m] * self._source_gain.get(key, 1.0)
+        if self.muted:
+            return np.zeros_like(out)
         return np.clip(out * self.global_gain, -1.0, 1.0)
 
 

@@ -315,19 +315,34 @@ def cmd_stream(args) -> int:
     from tpudab.host.dashboard import Dashboard
     from tpudab.audio.pipeline import AudioPipeline, WavSink
 
+    from tpudab.host.controls import KeyController
+
     reader = IQReader(args.path, fmt=args.format)
     audio = AudioPipeline(48_000)
     wav = WavSink(args.wav, 48_000) if args.wav else None
     radio = StreamingRadio(reader.ring.read_complex64, mode=args.mode,
                            batch_frames=args.batch_frames,
                            audio_pipeline=audio)
-    dash = None if args.no_dashboard else Dashboard(radio.receiver,
-                                                    radio.stats, audio)
+    controls = KeyController(radio.receiver, audio)
+    dash = None if args.no_dashboard else Dashboard(
+        radio.receiver, radio.stats, audio, controls=controls)
+    sink = None
+    if getattr(args, "play", False):
+        from tpudab.audio.sink import PlaybackSink
+        try:
+            sink = PlaybackSink(audio).start()
+        except RuntimeError as e:
+            print(f"audio playback unavailable ({e}); continuing without",
+                  file=sys.stderr)
 
     def on_outputs(outputs):
-        mixed = audio.mix(int(48_000 * 0.096 * args.batch_frames))
-        if wav is not None:
-            wav.write(mixed)
+        if sink is None:
+            # no live sink: drain the mix at signal rate into the WAV
+            mixed = audio.mix(int(48_000 * 0.096 * args.batch_frames))
+            if wav is not None:
+                wav.write(mixed)
+        if not controls.poll():
+            radio.request_stop()
         if dash is not None:
             dash.update()
 
@@ -336,7 +351,10 @@ def cmd_stream(args) -> int:
     except KeyboardInterrupt:
         pass
     finally:
+        controls.close()
         reader.ring.close()
+        if sink is not None:
+            sink.stop()
         if wav is not None:
             wav.close()
     if dash is not None:
@@ -390,6 +408,8 @@ def main(argv=None) -> int:
     st.add_argument("--mode", type=int, default=1)
     st.add_argument("--batch-frames", type=int, default=4)
     st.add_argument("--wav", default=None, help="write mixed audio to WAV")
+    st.add_argument("--play", action="store_true",
+                    help="real-time playback via aplay/pacat (PlaybackSink)")
     st.add_argument("--no-dashboard", action="store_true")
     st.set_defaults(fn=cmd_stream)
 

@@ -55,7 +55,8 @@ def render_constellation(re, im, rows: int = 11, cols: int = 23,
     return "\n".join(out)
 
 
-def render_text(receiver, stats=None, audio=None, width: int = 78) -> str:
+def render_text(receiver, stats=None, audio=None, width: int = 78,
+                controls=None) -> str:
     """Build the full status screen as a string (testable, UI-agnostic)."""
     db = receiver.db
     lines = []
@@ -142,7 +143,10 @@ def render_text(receiver, stats=None, audio=None, width: int = 78) -> str:
     if audio is not None:
         lines.append(f" audio: sink={audio.sink_rate} Hz "
                      f"gain={audio.global_gain:.2f} "
-                     f"sources={len(audio._sources)}")
+                     f"sources={len(audio._sources)}"
+                     + (" MUTED" if getattr(audio, "muted", False) else ""))
+    if controls is not None:
+        lines.append(controls.status_line())
     lines.append(bar)
     return "\n".join(lines)
 
@@ -151,12 +155,13 @@ class Dashboard:
     """ANSI live view: call update() periodically."""
 
     def __init__(self, receiver, stats=None, audio=None, out=sys.stdout,
-                 min_interval: float = 0.25):
+                 min_interval: float = 0.25, controls=None):
         self.receiver = receiver
         self.stats = stats
         self.audio = audio
         self.out = out
         self.min_interval = min_interval
+        self.controls = controls
         self._last = 0.0
 
     def update(self, force: bool = False) -> None:
@@ -164,6 +169,7 @@ class Dashboard:
         if not force and now - self._last < self.min_interval:
             return
         self._last = now
-        text = render_text(self.receiver, self.stats, self.audio)
+        text = render_text(self.receiver, self.stats, self.audio,
+                           controls=self.controls)
         self.out.write("\x1b[2J\x1b[H" + text + "\n")
         self.out.flush()

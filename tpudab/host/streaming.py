@@ -73,6 +73,7 @@ class StreamingRadio:
         self._decoders: Dict[int, object] = {}
         self._batches = 0
         self._fib_err_ema = 0.0
+        self._stop_requested = False
 
     # ---------------- internals ----------------
 
@@ -105,6 +106,10 @@ class StreamingRadio:
         self.stats.state = "READING_SYMBOLS"
         return True
 
+    def request_stop(self) -> None:
+        """Ask the run loop to exit after the current batch (UI quit key)."""
+        self._stop_requested = True
+
     def _timing_recheck(self, frames: np.ndarray) -> int:
         """PRS matched filter around the nominal position of the last frame;
         returns a small sample adjustment (clamped). Runs on device
@@ -134,7 +139,8 @@ class StreamingRadio:
         if not self._acquire():
             return
         fib_err_prev = 0
-        while max_batches is None or self._batches < max_batches:
+        while not self._stop_requested and (
+                max_batches is None or self._batches < max_batches):
             need = self.batch_frames * p.nb_frame_length
             buf = self._fill(need)
             if buf.shape[0] < p.nb_frame_length:
@@ -214,6 +220,9 @@ class StreamingRadio:
                                          aac_decode_available,
                                          mp2_decode_available)
         for subch_id, out in outputs.items():
+            ch = self.receiver.channels.get(subch_id)
+            if ch is not None and not getattr(ch, "is_play_audio", True):
+                continue  # per-channel play toggle (Basic_Audio_Channel)
             src = self.audio.add_source(subch_id)
             dec = self._decoders.get(subch_id)
             if out.is_dab_plus:

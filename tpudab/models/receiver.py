@@ -36,6 +36,16 @@ class AudioChannelOutput:
     raw_frames: Optional[np.ndarray] = None  # decoded logical frames (bytes)
 
 
+def _attach_controls(ch) -> None:
+    """Per-channel controls, reference parity with Basic_Audio_Channel
+    {Get/SetIsPlayAudio, SetIsDecodeAudio, Get/SetIsDecodeData}
+    (/root/reference/src/radio_block.cpp:63-77,
+    render_radio_block.cpp:386-408)."""
+    ch.is_play_audio = True
+    ch.is_decode_audio = True
+    ch.is_decode_data = True
+
+
 class DataPacketChannel:
     """Packet-mode data subchannel: packets -> MOT -> slideshow.
 
@@ -101,12 +111,14 @@ class Receiver:
             if comp.transport_mode == TransportMode.STREAM_AUDIO and bitrate:
                 is_plus = comp.audio_type == AudioServiceType.DAB_PLUS
                 ch = DABPlusChannel(bitrate) if is_plus else DABChannel(bitrate)
+                _attach_controls(ch)
                 self.channels[comp.subch_id] = ch
                 self.channel_is_dabplus[comp.subch_id] = is_plus
                 if self.on_audio_channel is not None:
                     self.on_audio_channel(comp.subch_id, ch)
             elif comp.transport_mode == TransportMode.PACKET_DATA:
                 ch = DataPacketChannel(comp.packet_address)
+                _attach_controls(ch)
                 self.channels[comp.subch_id] = ch
                 self.channel_is_dabplus[comp.subch_id] = False
 
@@ -143,15 +155,26 @@ class Receiver:
             out = AudioChannelOutput(subch_id=subch_id, is_dab_plus=is_plus,
                                      raw_frames=complete)
             ch = self.channels.get(subch_id)
-            if ch is not None and self.decode_audio and complete.shape[0]:
-                if isinstance(ch, DataPacketChannel):
-                    out.data_groups = ch.process_frames(complete)
-                elif is_plus:
-                    out.superframes = ch.process_frames(complete)
-                else:
-                    out.mp2_frames = ch.process_frames(complete)
+            self._decode_channel(ch, is_plus, complete, out)
             outputs[subch_id] = out
         return outputs
+
+    def _decode_channel(self, ch, is_plus, complete, out) -> None:
+        """Run the channel's payload decode honoring the per-channel
+        controls (Basic_Audio_Channel SetIsDecodeAudio / SetIsDecodeData
+        analogs) on top of the global decode_audio switch."""
+        if ch is None or not complete.shape[0]:
+            return
+        if isinstance(ch, DataPacketChannel):
+            if getattr(ch, "is_decode_data", True):
+                out.data_groups = ch.process_frames(complete)
+            return
+        if not (self.decode_audio and getattr(ch, "is_decode_audio", True)):
+            return
+        if is_plus:
+            out.superframes = ch.process_frames(complete)
+        else:
+            out.mp2_frames = ch.process_frames(complete)
 
     # ---------------- device-step integration ----------------
 
@@ -186,17 +209,36 @@ class Receiver:
             out = AudioChannelOutput(subch_id=subch_id, is_dab_plus=is_plus,
                                      raw_frames=complete)
             ch = self.channels.get(subch_id)
-            if ch is not None and self.decode_audio and complete.shape[0]:
-                if isinstance(ch, DataPacketChannel):
-                    out.data_groups = ch.process_frames(complete)
-                elif is_plus:
-                    out.superframes = ch.process_frames(complete)
-                else:
-                    out.mp2_frames = ch.process_frames(complete)
+            self._decode_channel(ch, is_plus, complete, out)
             outputs[subch_id] = out
         return outputs
 
     # ---------------- control (reference parity) ----------------
+
+    def set_is_play_audio(self, subch_id: int, value: bool) -> None:
+        ch = self.channels.get(subch_id)
+        if ch is not None:
+            ch.is_play_audio = bool(value)
+
+    def set_is_decode_audio(self, subch_id: int, value: bool) -> None:
+        ch = self.channels.get(subch_id)
+        if ch is not None:
+            ch.is_decode_audio = bool(value)
+
+    def set_is_decode_data(self, subch_id: int, value: bool) -> None:
+        ch = self.channels.get(subch_id)
+        if ch is not None:
+            ch.is_decode_data = bool(value)
+
+    def run_all(self) -> None:
+        """Enable play+decode on every channel (reference RunAll)."""
+        for ch in self.channels.values():
+            ch.is_play_audio = ch.is_decode_audio = ch.is_decode_data = True
+
+    def stop_all(self) -> None:
+        """Disable play+decode on every channel (reference StopAll)."""
+        for ch in self.channels.values():
+            ch.is_play_audio = ch.is_decode_audio = ch.is_decode_data = False
 
     def reset(self) -> None:
         """Full reset (reference: reset_radio on retune,

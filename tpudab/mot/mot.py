@@ -186,8 +186,73 @@ def _decode_header(data: bytes):
     return body_size, header_size, content_type, content_subtype, params
 
 
+# ---------------------------------------------------------------------------
+# MOT directory mode (EN 301 234 sec 7.2.3 — layout reconstructed from the
+# standard's structure: see STATUS.md 'reconstructed formats')
+# ---------------------------------------------------------------------------
+
+def encode_mot_directory(entries: List[Tuple[int, bytes]],
+                         segment_size: int = 0,
+                         carousel_period_ms: int = 0,
+                         extension: bytes = b"") -> bytes:
+    """entries: [(transport_id, full object header bytes)]. Uncompressed."""
+    body = bytearray()
+    for tid, hdr in entries:
+        body += bytes([(tid >> 8) & 0xFF, tid & 0xFF]) + hdr
+    dir_size = 13 + len(extension) + len(body)
+    out = bytearray()
+    out += bytes([(dir_size >> 24) & 0x3F, (dir_size >> 16) & 0xFF,
+                  (dir_size >> 8) & 0xFF, dir_size & 0xFF])
+    out += bytes([(len(entries) >> 8) & 0xFF, len(entries) & 0xFF])
+    out += bytes([(carousel_period_ms >> 16) & 0xFF,
+                  (carousel_period_ms >> 8) & 0xFF, carousel_period_ms & 0xFF])
+    out += bytes([(segment_size >> 8) & 0x1F, segment_size & 0xFF])
+    out += bytes([(len(extension) >> 8) & 0xFF, len(extension) & 0xFF])
+    out += extension
+    out += body
+    return bytes(out)
+
+
+def decode_mot_directory(raw: bytes) -> Optional[List[Tuple[int, tuple]]]:
+    """Returns [(transport_id, decoded header tuple)] or None on malformed
+    input. Tolerates a truncated trailing entry (drops it)."""
+    if len(raw) < 13:
+        return None
+    if raw[0] & 0x80:
+        return None  # compressed directory (type 7 payload) unsupported
+    n_objects = (raw[4] << 8) | raw[5]
+    ext_len = (raw[11] << 8) | raw[12]
+    pos = 13 + ext_len
+    entries: List[Tuple[int, tuple]] = []
+    for _ in range(n_objects):
+        if pos + 9 > len(raw):
+            break
+        tid = (raw[pos] << 8) | raw[pos + 1]
+        hdr_raw = raw[pos + 2:]
+        hdr = _decode_header(hdr_raw)
+        if hdr is None:
+            break
+        header_size = hdr[1]
+        if header_size < 7 or pos + 2 + header_size > len(raw):
+            break
+        # re-decode restricted to this entry's header bytes
+        hdr = _decode_header(hdr_raw[:header_size])
+        entries.append((tid, hdr))
+        pos += 2 + header_size
+    return entries
+
+
 class MOTAssembler:
-    """Assembles MOT objects from MSC data groups (header mode)."""
+    """Assembles MOT objects from MSC data groups — header mode (type 3+4)
+    AND directory mode (type 6 directory + type 4 bodies, EN 301 234).
+
+    Reassembly hardening: segments arrive out of order (dict-keyed), bodies
+    may precede the directory/header, incomplete transports are bounded by
+    an LRU eviction cap, and a new directory prunes transports that left
+    the carousel.
+    """
+
+    MAX_PENDING = 64            # incomplete transports kept (LRU)
 
     def __init__(self, on_object=None):
         self.on_object = on_object
@@ -196,8 +261,13 @@ class MOTAssembler:
         self._header_last: Dict[int, int] = {}
         self._bodies: Dict[int, Dict[int, bytes]] = {}
         self._body_last: Dict[int, int] = {}
+        self._dir_segs: Dict[int, Dict[int, bytes]] = {}
+        self._dir_last: Dict[int, int] = {}
+        self._pending_order: List[int] = []
+        self.directory: Dict[int, tuple] = {}   # tid -> header (dir mode)
         self.objects: Dict[int, MOTObject] = {}
-        self.stats = {"groups": 0, "crc_errors": 0, "objects": 0}
+        self.stats = {"groups": 0, "crc_errors": 0, "objects": 0,
+                      "directories": 0, "evicted": 0}
 
     def push_data_group(self, raw: bytes) -> None:
         dg = parse_msc_data_group(raw)
@@ -211,17 +281,49 @@ class MOTAssembler:
         if tid is None:
             return
         if dg.dg_type == DG_TYPE_MOT_HEADER:
+            self._touch(tid)
             segs = self._header_segs.setdefault(tid, {})
             segs[dg.segment_number] = dg.data
             if dg.last_segment:
                 self._header_last[tid] = dg.segment_number
             self._try_header(tid)
         elif dg.dg_type == DG_TYPE_MOT_BODY:
+            self._touch(tid)
             segs = self._bodies.setdefault(tid, {})
             segs[dg.segment_number] = dg.data
             if dg.last_segment:
                 self._body_last[tid] = dg.segment_number
             self._try_complete(tid)
+        elif dg.dg_type == DG_TYPE_MOT_DIRECTORY:
+            segs = self._dir_segs.setdefault(tid, {})
+            segs[dg.segment_number] = dg.data
+            if dg.last_segment:
+                self._dir_last[tid] = dg.segment_number
+            self._try_directory(tid)
+
+    # ---- assembly-state bookkeeping ----
+
+    def _touch(self, tid: int) -> None:
+        if tid in self._pending_order:
+            self._pending_order.remove(tid)
+        self._pending_order.append(tid)
+        while len(self._pending_order) > self.MAX_PENDING:
+            evict = self._pending_order.pop(0)
+            self._drop(evict)
+            self.stats["evicted"] += 1
+
+    def _drop(self, tid: int) -> None:
+        for d in (self._header_segs, self._header_last, self._bodies,
+                  self._body_last, self._headers):
+            d.pop(tid, None)
+
+    def _done(self, tid: int) -> None:
+        self._bodies.pop(tid, None)
+        self._body_last.pop(tid, None)
+        if tid in self._pending_order:
+            self._pending_order.remove(tid)
+
+    # ---- header mode ----
 
     def _try_header(self, tid: int) -> None:
         last = self._header_last.get(tid)
@@ -233,6 +335,33 @@ class MOTAssembler:
         if hdr is not None:
             self._headers[tid] = hdr
             self._try_complete(tid)
+
+    # ---- directory mode ----
+
+    def _try_directory(self, dir_tid: int) -> None:
+        last = self._dir_last.get(dir_tid)
+        segs = self._dir_segs.get(dir_tid, {})
+        if last is None or not all(i in segs for i in range(last + 1)):
+            return
+        raw = b"".join(segs[i] for i in range(last + 1))
+        entries = decode_mot_directory(raw)
+        if entries is None:
+            return
+        self.stats["directories"] += 1
+        self._dir_segs.pop(dir_tid, None)
+        self._dir_last.pop(dir_tid, None)
+        new_dir = dict(entries)
+        # carousel management: transports that left the directory are stale
+        for tid in list(self.directory):
+            if tid not in new_dir:
+                self._drop(tid)
+                self.objects.pop(tid, None)
+        self.directory = new_dir
+        for tid, hdr in entries:
+            self._headers[tid] = hdr
+            self._try_complete(tid)
+
+    # ---- completion ----
 
     def _try_complete(self, tid: int) -> None:
         hdr = self._headers.get(tid)
@@ -251,11 +380,46 @@ class MOTAssembler:
                         content_name=content_name, params=params)
         self.objects[tid] = obj
         self.stats["objects"] += 1
-        # clear assembly state
-        self._bodies.pop(tid, None)
-        self._body_last.pop(tid, None)
+        self._done(tid)
         if self.on_object:
             self.on_object(obj)
+
+
+def build_mot_directory_groups(objects: List[MOTObject],
+                               segment_size: int = 128,
+                               dir_transport_id: int = 0,
+                               ) -> List[bytes]:
+    """Synthesizer: directory-mode carousel -> MSC data groups: one
+    (possibly segmented) type-6 directory group + type-4 body groups per
+    object (objects in directory mode carry NO per-object header groups)."""
+    entries = []
+    for obj in objects:
+        params = dict(obj.params)
+        if obj.content_name and PARAM_CONTENT_NAME not in params:
+            params[PARAM_CONTENT_NAME] = (bytes([0])
+                                          + obj.content_name.encode("latin-1"))
+        entries.append((obj.transport_id,
+                        _encode_header(len(obj.body), obj.content_type,
+                                       obj.content_subtype, params)))
+    directory = encode_mot_directory(entries, segment_size=segment_size)
+    groups = []
+    cont = 0
+    dsegs = [directory[i: i + segment_size]
+             for i in range(0, len(directory), segment_size)]
+    for i, seg in enumerate(dsegs):
+        groups.append(build_msc_data_group(DG_TYPE_MOT_DIRECTORY, cont & 0xF,
+                                           i, i == len(dsegs) - 1,
+                                           dir_transport_id, seg))
+        cont += 1
+    for obj in objects:
+        bsegs = [obj.body[i: i + segment_size]
+                 for i in range(0, len(obj.body), segment_size)]
+        for i, seg in enumerate(bsegs):
+            groups.append(build_msc_data_group(DG_TYPE_MOT_BODY, cont & 0xF,
+                                               i, i == len(bsegs) - 1,
+                                               obj.transport_id, seg))
+            cont += 1
+    return groups
 
 
 def build_mot_object_groups(obj: MOTObject, segment_size: int = 128) -> List[bytes]:
