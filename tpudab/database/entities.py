@@ -13,7 +13,7 @@ from typing import List, Optional
 
 from tpudab.constants.tables import country_str, language_str, programme_type_str
 from tpudab.constants.puncture import (
-    eep_bitrate_kbps, get_uep_index_table, _UEP_TABLE,
+    eep_bitrate_kbps, get_uep_index_table, uep_index_order, _UEP_TABLE,
 )
 
 
@@ -65,7 +65,7 @@ class Subchannel:
     @property
     def bitrate_kbps(self) -> Optional[int]:
         if self.is_uep:
-            keys = sorted(_UEP_TABLE.keys())
+            keys = uep_index_order()
             if 0 <= self.uep_index < len(keys):
                 return keys[self.uep_index][0]
             return None

@@ -57,6 +57,12 @@ def _print_db(receiver) -> None:
     stats = receiver.updater.stats
     print(f"DB: total={stats.total} completed={stats.completed} "
           f"updates={stats.updates} conflicts={stats.conflicts}")
+    from tpudab.constants.provenance import caveats_for_subchannel
+    caveats = set()
+    for sub in db.subchannels.values():
+        caveats.update(caveats_for_subchannel(sub.is_uep, receiver.mode))
+    for c in sorted(caveats):
+        print(f"note: {c}")
 
 
 def cmd_decode(args) -> int:

@@ -52,11 +52,8 @@ class SubchannelConfig:
     @classmethod
     def from_db(cls, sub: Subchannel) -> "SubchannelConfig":
         if sub.is_uep:
-            from tpudab.constants.puncture import _UEP_TABLE
-            keys = sorted(_UEP_TABLE.keys())
-            if not 0 <= sub.uep_index < len(keys):
-                raise ValueError(f"UEP index {sub.uep_index} unknown")
-            uep: UEPProfile = _UEP_TABLE[keys[sub.uep_index]][0]
+            from tpudab.constants.puncture import get_uep_profile_by_index
+            uep: UEPProfile = get_uep_profile_by_index(sub.uep_index)
             return cls(sub.subch_id, sub.start_cu, uep.size_cu,
                        uep.to_profile(), uep.padding_bits)
         profile = eep_profile(sub.size_cu, sub.eep_level, sub.eep_option)

@@ -65,8 +65,11 @@ class DynamicLabelDecoder:
         length = (b0 & 0x0F) + 1
         seg_num = (b1 >> 4) & 7
         if first:
+            # EN 300 401 sec 7.4.5.2: in the first segment the second prefix
+            # byte carries the 4-bit charset in its HIGH nibble (the same
+            # bits that hold SegNum in continuation segments); low nibble rfa.
             seg_num = 0
-            self.charset = b1 & 0x0F
+            self.charset = (b1 >> 4) & 0x0F
         if toggle != self._toggle:
             self._segments = {}
             self._toggle = toggle
@@ -101,7 +104,7 @@ def build_dynamic_label_segments(text: str, charset: int = 0,
         first = 1 if i == 0 else 0
         last = 1 if i == len(chunks) - 1 else 0
         b0 = (toggle << 7) | (first << 6) | (last << 5) | (len(chunk) - 1)
-        b1 = (charset & 0x0F) if first else ((i & 7) << 4)
+        b1 = ((charset & 0x0F) << 4) if first else ((i & 7) << 4)
         body = bytes([b0, b1]) + chunk
         crc = int(crc16_ccitt(np.frombuffer(body, dtype=np.uint8)))
         segs.append(body + bytes([crc >> 8, crc & 0xFF]))
