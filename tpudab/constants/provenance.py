@@ -67,8 +67,8 @@ def caveats_for_subchannel(is_uep: bool, mode: int = 1) -> list:
     out = []
     if is_uep:
         out.append(f"[reconstructed table: uep_regions] "
-                   f"{TABLE_CONFIDENCE['uep_regions'][2]}")
+                   f"{TABLE_CONFIDENCE['uep_regions'][1]}")
     if mode in (2, 3, 4):
         out.append(f"[reconstructed table: prs_mode234_blocks] "
-                   f"{TABLE_CONFIDENCE['prs_mode234_blocks'][2]}")
+                   f"{TABLE_CONFIDENCE['prs_mode234_blocks'][1]}")
     return out

@@ -65,16 +65,42 @@ def _print_db(receiver) -> None:
         print(f"note: {c}")
 
 
+def _load_config(args):
+    """--config JSON (ConfigManager, reference main.cpp:16-20 parity):
+    file values fill in anything not explicitly set on the command line."""
+    if not getattr(args, "config", None):
+        return None
+    from tpudab.host.config import ConfigManager
+    return ConfigManager(args.config)
+
+
 def cmd_decode(args) -> int:
-    from tpudab.models.pipeline import decode_iq
-    from tpudab.audio.superframe import SuperFrameResult
-    from tpudab.audio.pipeline import WavSink
+    from tpudab.models.pipeline import OfflinePipeline
+
+    mgr = _load_config(args)
+    mode, batch = args.mode, args.batch_frames
+    sync_cfg = None
+    if mgr is not None:
+        mode = mgr.config.mode if args.mode == 1 else args.mode
+        batch = mgr.config.batch_frames if args.batch_frames == 8 else batch
+        sync_cfg = mgr.config.sync_config()
 
     iq = _load_iq(args.path, args.format)
     print(f"Loaded {iq.shape[0]} samples ({iq.shape[0] / 2.048e6:.2f} s)")
-    receiver, acc, stats = decode_iq(iq, mode=args.mode,
-                                     batch_frames=args.batch_frames,
-                                     use_device_step=args.device_step)
+    kw = {"sync_cfg": sync_cfg} if sync_cfg is not None else {}
+    pipe = OfflinePipeline(mode=mode, batch_frames=batch,
+                           use_device_step=args.device_step, **kw)
+    if args.resume:
+        from tpudab.models.checkpoint import pipeline_restore
+        pipeline_restore(pipe, args.resume)
+        print(f"Resumed from {args.resume} "
+              f"(net_freq={pipe.stats.net_freq_hz:+.1f} Hz)")
+    acc = pipe.run(iq)
+    receiver, stats = pipe.receiver, pipe.stats
+    if args.checkpoint:
+        from tpudab.models.checkpoint import pipeline_checkpoint
+        pipeline_checkpoint(pipe, args.checkpoint)
+        print(f"Checkpoint -> {args.checkpoint} (next_pos={stats.next_pos})")
     print(f"Sync: frame_start={stats.frame_start} "
           f"net_freq={stats.net_freq_hz:+.1f} Hz "
           f"frames={stats.total_frames} desync={stats.total_frames_desync}")
@@ -323,15 +349,31 @@ def cmd_stream(args) -> int:
 
     from tpudab.host.controls import KeyController
 
+    mgr = _load_config(args)
+    mode, batch = args.mode, args.batch_frames
+    radio_kw = {}
+    if mgr is not None:
+        c = mgr.config
+        mode = c.mode if args.mode == 1 else args.mode
+        batch = c.batch_frames if args.batch_frames == 4 else batch
+        radio_kw = {"sync_cfg": c.sync_config(),
+                    "desync_threshold": c.desync_threshold,
+                    "is_coarse_freq_correction": c.is_coarse_freq_correction,
+                    "coarse_check_interval": c.coarse_check_interval}
+
     reader = IQReader(args.path, fmt=args.format)
-    audio = AudioPipeline(48_000)
-    wav = WavSink(args.wav, 48_000) if args.wav else None
-    radio = StreamingRadio(reader.ring.read_complex64, mode=args.mode,
-                           batch_frames=args.batch_frames,
-                           audio_pipeline=audio)
-    controls = KeyController(radio.receiver, audio)
+    audio = AudioPipeline(48_000 if mgr is None else mgr.config.sink_sample_rate)
+    if mgr is not None:
+        audio.global_gain = mgr.config.global_gain
+    wav = WavSink(args.wav, audio.sink_rate) if args.wav else None
+    radio = StreamingRadio(reader.ring.read_complex64, mode=mode,
+                           batch_frames=batch,
+                           audio_pipeline=audio, **radio_kw)
+    controls = KeyController(radio.receiver, audio, radio=radio,
+                             config_manager=mgr)
     dash = None if args.no_dashboard else Dashboard(
-        radio.receiver, radio.stats, audio, controls=controls)
+        radio.receiver, radio.stats, audio, controls=controls,
+        timers=radio.timers)
     sink = None
     if getattr(args, "play", False):
         from tpudab.audio.sink import PlaybackSink
@@ -393,6 +435,14 @@ def main(argv=None) -> int:
     d.add_argument("--out-dir", default=None)
     d.add_argument("--device-step", action="store_true",
                    help="decode MSC via the jitted device receive step")
+    d.add_argument("--config", default=None,
+                   help="JSON RadioConfig (ConfigManager, autosaved)")
+    d.add_argument("--checkpoint", default=None,
+                   help="save resumable pipeline state here at end of run")
+    d.add_argument("--resume", default=None,
+                   help="restore state saved by --checkpoint; the input file "
+                        "must be the remainder of the capture "
+                        "(split at the reported next_pos)")
     d.set_defaults(fn=cmd_decode)
 
     s = sub.add_parser("synth", help="synthesize a demo ensemble capture")
@@ -417,6 +467,8 @@ def main(argv=None) -> int:
     st.add_argument("--play", action="store_true",
                     help="real-time playback via aplay/pacat (PlaybackSink)")
     st.add_argument("--no-dashboard", action="store_true")
+    st.add_argument("--config", default=None,
+                    help="JSON RadioConfig (ConfigManager, autosaved)")
     st.set_defaults(fn=cmd_stream)
 
     args = ap.parse_args(argv)

@@ -29,6 +29,10 @@ class RadioConfig:
     fine_freq_beta: float = 0.9
     coarse_freq_beta: float = 0.9
     window_offset: int = 12
+    # streaming-loop tunables (StreamingRadio mirrors)
+    desync_threshold: float = 0.35
+    is_coarse_freq_correction: bool = True
+    coarse_check_interval: int = 4
 
     def sync_config(self) -> SyncConfig:
         return SyncConfig(

@@ -9,7 +9,15 @@ single-key commands on the streaming CLI:
   d        toggle decode audio   x  toggle decode data
   a        run all               s  stop all
   +/-      global gain           m  mute toggle
-  q        quit
+  c        toggle coarse-CFO     [/]  desync threshold -/+
+  f/F      fine-freq beta -/+    q  quit
+
+Live OFDM tunables (c, [, ], f, F) write the running StreamingRadio's
+mirrors of OFDM_Demod::GetConfig() — reference parity with the ImGui
+controls editing the demod config while running
+(/root/reference/src/render_radio_block.cpp:213-235). When a ConfigManager
+is attached, every change autosaves to the JSON config
+(reference main.cpp:16-20).
 
 Non-blocking: poll() drains pending keys; when stdin is not a tty it is a
 no-op (CI/pipes). `read_key` is injectable for tests.
@@ -50,15 +58,25 @@ class KeyController:
     """Maps keys to receiver/audio controls; tracks a selected channel."""
 
     def __init__(self, receiver, audio,
-                 read_key: Optional[Callable[[], Optional[str]]] = None):
+                 read_key: Optional[Callable[[], Optional[str]]] = None,
+                 radio=None, config_manager=None):
         self.receiver = receiver
         self.audio = audio
+        self.radio = radio                  # StreamingRadio (live tunables)
+        self.config_manager = config_manager
         self.selected = 0
         self.quit = False
         self._restore = None
         if read_key is None:
             read_key, self._restore = _tty_key_reader()
         self.read_key = read_key
+
+    def _autosave(self, **kw) -> None:
+        if self.config_manager is not None:
+            try:
+                self.config_manager.set(**kw)
+            except AttributeError:
+                pass  # key not in RadioConfig: runtime-only tunable
 
     def close(self) -> None:
         if self._restore is not None:
@@ -96,8 +114,31 @@ class KeyController:
             a.muted = not a.muted
         elif key == "+" and a is not None:
             a.global_gain = min(a.global_gain * 1.25, 8.0)
+            self._autosave(global_gain=a.global_gain)
         elif key == "-" and a is not None:
             a.global_gain = max(a.global_gain / 1.25, 0.05)
+            self._autosave(global_gain=a.global_gain)
+        elif key == "c" and self.radio is not None:
+            self.radio.is_coarse_freq_correction = \
+                not self.radio.is_coarse_freq_correction
+            self._autosave(
+                is_coarse_freq_correction=self.radio.is_coarse_freq_correction)
+        elif key == "[" and self.radio is not None:
+            self.radio.desync_threshold = max(
+                self.radio.desync_threshold - 0.05, 0.05)
+            self._autosave(desync_threshold=self.radio.desync_threshold)
+        elif key == "]" and self.radio is not None:
+            self.radio.desync_threshold = min(
+                self.radio.desync_threshold + 0.05, 1.0)
+            self._autosave(desync_threshold=self.radio.desync_threshold)
+        elif key == "f" and self.radio is not None:
+            self.radio.fine_freq_beta = max(self.radio.fine_freq_beta - 0.05,
+                                            0.0)
+            self._autosave(fine_freq_beta=self.radio.fine_freq_beta)
+        elif key == "F" and self.radio is not None:
+            self.radio.fine_freq_beta = min(self.radio.fine_freq_beta + 0.05,
+                                            0.99)
+            self._autosave(fine_freq_beta=self.radio.fine_freq_beta)
         elif sid is not None:
             ch = r.channels[sid]
             if key == "p":
@@ -133,5 +174,10 @@ class KeyController:
             parts.append(f"{mark}{i}:sub{cid}[{flags}]")
         gain = f"gain={self.audio.global_gain:.2f}" if self.audio else ""
         mute = " MUTED" if (self.audio and self.audio.muted) else ""
-        return (" keys: TAB/sel p/play d/dec x/data a/all s/stop m/mute +/- q | "
-                + " ".join(parts) + f" {gain}{mute}")
+        tun = ""
+        if self.radio is not None:
+            tun = (f" | desync={self.radio.desync_threshold:.2f}"
+                   f" beta={self.radio.fine_freq_beta:.2f}"
+                   f" coarse={'on' if self.radio.is_coarse_freq_correction else 'OFF'}")
+        return (" keys: TAB/sel p/play d/dec x/data a/all s/stop m/mute +/- "
+                "c/[/]/f/F q | " + " ".join(parts) + f" {gain}{mute}{tun}")

@@ -56,7 +56,7 @@ def render_constellation(re, im, rows: int = 11, cols: int = 23,
 
 
 def render_text(receiver, stats=None, audio=None, width: int = 78,
-                controls=None) -> str:
+                controls=None, timers=None) -> str:
     """Build the full status screen as a string (testable, UI-agnostic)."""
     db = receiver.db
     lines = []
@@ -145,6 +145,15 @@ def render_text(receiver, stats=None, audio=None, width: int = 78,
                      f"gain={audio.global_gain:.2f} "
                      f"sources={len(audio._sources)}"
                      + (" MUTED" if getattr(audio, "muted", False) else ""))
+    if timers is not None and timers.totals:
+        # per-stage wall time (host/profiling.StageTimer): where the loop
+        # spends its milliseconds, reference SURVEY.md sec 5.1 analog
+        parts = []
+        for name, e in sorted(timers.summary().items(),
+                              key=lambda kv: -kv[1]["seconds"]):
+            ms = 1e3 * e["seconds"] / max(e["calls"], 1)
+            parts.append(f"{name}={ms:.1f}ms")
+        lines.append(" stages: " + " ".join(parts))
     if controls is not None:
         lines.append(controls.status_line())
     lines.append(bar)
@@ -155,13 +164,14 @@ class Dashboard:
     """ANSI live view: call update() periodically."""
 
     def __init__(self, receiver, stats=None, audio=None, out=sys.stdout,
-                 min_interval: float = 0.25, controls=None):
+                 min_interval: float = 0.25, controls=None, timers=None):
         self.receiver = receiver
         self.stats = stats
         self.audio = audio
         self.out = out
         self.min_interval = min_interval
         self.controls = controls
+        self.timers = timers
         self._last = 0.0
 
     def update(self, force: bool = False) -> None:
@@ -170,6 +180,6 @@ class Dashboard:
             return
         self._last = now
         text = render_text(self.receiver, self.stats, self.audio,
-                           controls=self.controls)
+                           controls=self.controls, timers=self.timers)
         self.out.write("\x1b[2J\x1b[H" + text + "\n")
         self.out.flush()

@@ -20,8 +20,9 @@ import numpy as np
 
 from tpudab.constants.ofdm_params import get_ofdm_params, SAMPLING_RATE
 from tpudab.ofdm.sync import SyncConfig
-from tpudab.ofdm.sync_device import (acquire_host, fine_freq_device,
-                                     fine_time_sync_device)
+from tpudab.ofdm.sync_device import (acquire_host, coarse_freq_device,
+                                     fine_freq_device, fine_time_sync_device)
+from tpudab.host.profiling import StageTimer
 from tpudab.ofdm.demod import demod_frames_split
 from tpudab.models.receiver import Receiver
 from tpudab.audio.pipeline import AudioPipeline
@@ -37,6 +38,7 @@ class StreamingStats:
     fine_freq_hz: float = 0.0
     coarse_freq_hz: float = 0.0
     timing_adjustments: int = 0
+    coarse_adjustments: int = 0   # continuous coarse-CFO bin corrections
     signal_power: float = 0.0
     snr_db: float = 0.0
     const_re: Optional[np.ndarray] = None   # decimated DQPSK constellation
@@ -57,7 +59,9 @@ class StreamingRadio:
                  audio_pipeline: Optional[AudioPipeline] = None,
                  timing_check_interval: int = 1,
                  fib_error_ema_beta: float = 0.5,
-                 desync_threshold: float = 0.35):
+                 desync_threshold: float = 0.35,
+                 is_coarse_freq_correction: bool = True,
+                 coarse_check_interval: int = 4):
         self.source = source
         self.mode = mode
         self.params = get_ofdm_params(mode)
@@ -67,7 +71,14 @@ class StreamingRadio:
         self.audio = audio_pipeline
         self.timing_check_interval = timing_check_interval
         self.fib_error_ema_beta = fib_error_ema_beta
+        # live-tunable mirrors of the SyncConfig betas (the reference writes
+        # OFDM_Demod::GetConfig() fields while running; KeyController and
+        # ConfigManager adjust these, render_radio_block.cpp:213-235 analog)
         self.desync_threshold = desync_threshold
+        self.fine_freq_beta = sync_cfg.fine_freq_beta
+        self.is_coarse_freq_correction = is_coarse_freq_correction
+        self.coarse_check_interval = coarse_check_interval
+        self.timers = StageTimer()
         self.stats = StreamingStats()
         self._residual = np.zeros(0, dtype=np.complex64)
         self._decoders: Dict[int, object] = {}
@@ -130,6 +141,88 @@ class StreamingRadio:
         # rejecting outlier peaks; reacquisition covers anything larger
         return int(np.clip(off, -32, 32)) if float(np.asarray(q)[0]) > 3.0 else 0
 
+    # ---------------- tracking ----------------
+
+    def _track(self, frames: np.ndarray, nf: int, spacing: float) -> None:
+        """Per-batch frequency/timing tracking while locked."""
+        p, cfg = self.params, self.sync_cfg
+
+        # fine-frequency tracking: estimate the small RESIDUAL after full
+        # net correction (avoids +/-half-carrier wrap at the boundary),
+        # EMA'd with the reference's fine_freq_update_beta analog. The
+        # reference updates every frame; a batch covers nf frames, so the
+        # per-frame beta compounds to beta**nf — without this a CFO ramp
+        # lags nf-times further and desyncs (VERDICT r2 item #4).
+        resid = float(np.asarray(fine_freq_device(
+            np.ascontiguousarray(frames[-1].real, np.float32)[None],
+            np.ascontiguousarray(frames[-1].imag, np.float32)[None],
+            np.float32(self.stats.net_freq_hz), self.mode))[0])
+        alpha = 1.0 - self.fine_freq_beta ** nf
+        self.stats.fine_freq_hz += alpha * resid
+
+        # continuous coarse correction: every N batches check the PRS body
+        # for an integer-carrier residual; fold accumulated fine drift into
+        # the coarse offset so a slow oscillator walk past +/- half a
+        # carrier is tracked instead of forcing a reacquisition
+        # (reference render_radio_block.cpp:215-223).
+        if (self.is_coarse_freq_correction
+                and self._batches % self.coarse_check_interval == 0):
+            prs_lo = p.nb_null_period + p.nb_cyclic_prefix
+            seg = frames[-1][prs_lo : prs_lo + p.nb_fft]
+            bins, q = coarse_freq_device(
+                np.ascontiguousarray(seg.real, np.float32)[None],
+                np.ascontiguousarray(seg.imag, np.float32)[None],
+                np.float32(self.stats.coarse_freq_hz + self.stats.fine_freq_hz),
+                self.mode, cfg.max_coarse_bins)
+            bins = int(np.asarray(bins)[0])
+            if bins and float(np.asarray(q)[0]) > 3.0:
+                self.stats.coarse_freq_hz += bins * spacing
+                self.stats.coarse_adjustments += 1
+            # bookkeeping: keep |fine| < half a carrier by moving whole
+            # carriers into coarse (net unchanged)
+            whole = round(self.stats.fine_freq_hz / spacing)
+            if whole:
+                self.stats.fine_freq_hz -= whole * spacing
+                self.stats.coarse_freq_hz += whole * spacing
+        self.stats.net_freq_hz = (self.stats.coarse_freq_hz
+                                  + self.stats.fine_freq_hz)
+
+        # timing drift check
+        if self._batches % self.timing_check_interval == 0:
+            adj = self._timing_recheck(frames)
+            if adj:
+                self.stats.timing_adjustments += 1
+                if adj > 0:
+                    self._residual = self._residual[adj:]
+                else:
+                    pad = frames[-1][adj:]
+                    self._residual = np.concatenate([pad, self._residual])
+
+    def _coarse_triage(self, frames: np.ndarray, spacing: float) -> bool:
+        """Desync triage: before giving up and reacquiring, check whether the
+        'blackout' is just an integer-carrier frequency slip (e.g. an
+        oscillator step, or fine tracking losing a whole carrier — invisible
+        to the CP autocorrelation, which only sees CFO mod one carrier).
+        Applies the bin fix and returns True when confident; a genuine
+        timing break leaves the PRS correlation flat (low quality) and
+        returns False so the normal reacquisition path runs."""
+        p = self.params
+        prs_lo = p.nb_null_period + p.nb_cyclic_prefix
+        seg = frames[-1][prs_lo : prs_lo + p.nb_fft]
+        bins, q = coarse_freq_device(
+            np.ascontiguousarray(seg.real, np.float32)[None],
+            np.ascontiguousarray(seg.imag, np.float32)[None],
+            np.float32(self.stats.net_freq_hz), self.mode,
+            self.sync_cfg.max_coarse_bins)
+        bins = int(np.asarray(bins)[0])
+        if bins == 0 or float(np.asarray(q)[0]) <= 3.0:
+            return False
+        self.stats.coarse_freq_hz += bins * spacing
+        self.stats.coarse_adjustments += 1
+        self.stats.net_freq_hz = (self.stats.coarse_freq_hz
+                                  + self.stats.fine_freq_hz)
+        return True
+
     # ---------------- main loop ----------------
 
     def run(self, max_batches: Optional[int] = None,
@@ -139,10 +232,12 @@ class StreamingRadio:
         if not self._acquire():
             return
         fib_err_prev = 0
+        spacing = SAMPLING_RATE / p.nb_fft
         while not self._stop_requested and (
                 max_batches is None or self._batches < max_batches):
             need = self.batch_frames * p.nb_frame_length
-            buf = self._fill(need)
+            with self.timers.stage("read"):
+                buf = self._fill(need)
             if buf.shape[0] < p.nb_frame_length:
                 break
             nf = buf.shape[0] // p.nb_frame_length
@@ -150,44 +245,25 @@ class StreamingRadio:
             self._residual = buf[nf * p.nb_frame_length:]
 
             tiled = (nf, p.nb_frame_length // 128, 128)
-            soft, stats = demod_frames_split(
-                np.ascontiguousarray(frames.real, dtype=np.float32).reshape(tiled),
-                np.ascontiguousarray(frames.imag, dtype=np.float32).reshape(tiled),
-                self.stats.net_freq_hz, self.mode, cfg.window_offset)
-            soft = np.asarray(soft)
+            with self.timers.stage("demod", items=nf * p.nb_frame_length):
+                soft, stats = demod_frames_split(
+                    np.ascontiguousarray(frames.real, dtype=np.float32).reshape(tiled),
+                    np.ascontiguousarray(frames.imag, dtype=np.float32).reshape(tiled),
+                    self.stats.net_freq_hz, self.mode, cfg.window_offset)
+                soft = np.asarray(soft)
             self.stats.signal_power = float(np.asarray(stats["mean_power"])[-1])
             self.stats.const_re = np.asarray(stats["const_re"])
             self.stats.const_im = np.asarray(stats["const_im"])
             from tpudab.host.dashboard import constellation_snr_db
             self.stats.snr_db = constellation_snr_db(self.stats.const_re,
                                                      self.stats.const_im)
-            outputs = self.receiver.process_frame_bits(soft)
+            with self.timers.stage("decode", items=nf):
+                outputs = self.receiver.process_frame_bits(soft)
             self.stats.total_frames += nf
             self._batches += 1
 
-            # fine-frequency tracking: estimate the small RESIDUAL after full
-            # net correction (avoids +/-half-carrier wrap at the boundary),
-            # EMA'd with the reference's fine_freq_update_beta analog;
-            # the estimator runs on device (split-real CP autocorrelation)
-            resid = float(np.asarray(fine_freq_device(
-                np.ascontiguousarray(frames[-1].real, np.float32)[None],
-                np.ascontiguousarray(frames[-1].imag, np.float32)[None],
-                np.float32(self.stats.net_freq_hz), self.mode))[0])
-            beta = cfg.fine_freq_beta
-            self.stats.fine_freq_hz += (1 - beta) * resid
-            self.stats.net_freq_hz = (self.stats.coarse_freq_hz
-                                      + self.stats.fine_freq_hz)
-
-            # timing drift check
-            if self._batches % self.timing_check_interval == 0:
-                adj = self._timing_recheck(frames)
-                if adj:
-                    self.stats.timing_adjustments += 1
-                    if adj > 0:
-                        self._residual = self._residual[adj:]
-                    else:
-                        pad = frames[-1][adj:]
-                        self._residual = np.concatenate([pad, self._residual])
+            with self.timers.stage("track"):
+                self._track(frames, nf, spacing)
 
             # desync detection -> reacquire. GRADED: an EMA of the per-batch
             # FIB CRC error rate crossing desync_threshold triggers resync —
@@ -201,16 +277,23 @@ class StreamingRadio:
             b = self.fib_error_ema_beta
             self._fib_err_ema = b * self._fib_err_ema + (1 - b) * batch_rate
             if batch_rate >= 1.0 or self._fib_err_ema > self.desync_threshold:
-                self.stats.total_frames_desync += nf
-                self.stats.reacquisitions += 1
-                self._fib_err_ema = 0.0
-                if not self._acquire():
-                    break
-                fib_err_prev = self.receiver.stats["fib_crc_errors"]
+                if (self.is_coarse_freq_correction
+                        and self._coarse_triage(frames, spacing)):
+                    # integer-carrier slip repaired in place; give the loop a
+                    # clean slate instead of a full (audio-gap) reacquisition
+                    self._fib_err_ema = 0.0
+                else:
+                    self.stats.total_frames_desync += nf
+                    self.stats.reacquisitions += 1
+                    self._fib_err_ema = 0.0
+                    if not self._acquire():
+                        break
+                    fib_err_prev = self.receiver.stats["fib_crc_errors"]
 
             # audio fan-out
             if self.audio is not None:
-                self._render_audio(outputs)
+                with self.timers.stage("audio"):
+                    self._render_audio(outputs)
             if on_outputs is not None:
                 on_outputs(outputs)
         self.stats.state = "STOPPED"

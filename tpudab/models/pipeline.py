@@ -29,6 +29,7 @@ class PipelineStats:
     reacquisitions: int = 0
     net_freq_hz: float = 0.0
     frame_start: int = 0
+    next_pos: int = 0   # sample index where the next run would continue
 
 
 class OfflinePipeline:
@@ -55,6 +56,7 @@ class OfflinePipeline:
         self._step = None
         self._step_carry = None
         self._step_first_logical: Dict[int, int] = {}
+        self._resumed = False  # set by models.checkpoint.pipeline_restore
 
     def _maybe_build_step(self) -> None:
         """(Re)build the jitted step from discovered decoders.
@@ -103,14 +105,20 @@ class OfflinePipeline:
         """
         p = self.params
         n = iq.shape[0]
-        if n < 2 * p.nb_frame_length:
-            raise ValueError("need at least 2 frames of IQ for acquisition")
-
-        res = acquire_host(iq[: 4 * p.nb_frame_length], self.mode,
-                           self.sync_cfg.max_coarse_bins)
-        self.stats.net_freq_hz = res["net_freq_hz"]
-        self.stats.frame_start = res["frame_start"]
-        start = res["frame_start"]
+        if self._resumed:
+            # restored state: the buffer is the remainder of a capture that
+            # was checkpointed at a frame boundary — no acquisition, the
+            # tracked net frequency carries over
+            self._resumed = False
+            start = 0
+        else:
+            if n < 2 * p.nb_frame_length:
+                raise ValueError("need at least 2 frames of IQ for acquisition")
+            res = acquire_host(iq[: 4 * p.nb_frame_length], self.mode,
+                               self.sync_cfg.max_coarse_bins)
+            self.stats.net_freq_hz = res["net_freq_hz"]
+            self.stats.frame_start = res["frame_start"]
+            start = res["frame_start"]
 
         accumulated: Dict[int, list] = {}
         pos = start
@@ -161,6 +169,7 @@ class OfflinePipeline:
                 collect(outputs)
             for sid, out in outputs.items():
                 accumulated.setdefault(sid, []).append(out)
+            self.stats.next_pos = pos
         return accumulated
 
 

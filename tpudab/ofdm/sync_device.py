@@ -252,6 +252,21 @@ def fine_time_sync_device(seg_re, seg_im, freq_hz, mode: int = 1,
     return _prs_search_split(seg_re, seg_im, mode, 2 * search + 1)
 
 
+@functools.partial(jax.jit, static_argnames=("mode", "max_bins"))
+def coarse_freq_device(seg_re, seg_im, freq_hz, mode: int = 1,
+                       max_bins: int = 100):
+    """Batched residual integer-bin CFO from (B, nb_fft) PRS-body windows
+    after removing freq_hz (B,): the streaming CONTINUOUS coarse tap.
+    Returns (residual_bins (B,) int32, quality (B,)). While locked the
+    residual is 0; a slow oscillator walk past +/- half a carrier shows up
+    as +/-1 and is folded into the tracked coarse offset instead of forcing
+    a reacquisition (reference is_coarse_freq_correction +
+    coarse_freq_slow_beta loop, render_radio_block.cpp:215-223)."""
+    seg_re, seg_im = _rotate(seg_re, seg_im, jnp.broadcast_to(
+        jnp.asarray(freq_hz, jnp.float32), (seg_re.shape[0],)))
+    return _coarse_split(seg_re, seg_im, mode, max_bins)
+
+
 @functools.partial(jax.jit, static_argnames=("mode",))
 def fine_freq_device(f_re, f_im, freq_hz, mode: int = 1):
     """Batched residual fractional CFO of aligned (B, frame_len) frames

@@ -5,9 +5,12 @@ Multi-chip design (SURVEY.md sec 2.7, sec 5.7; BASELINE configs 4-5):
 - 'time' axis: each shard holds a contiguous run of transmission frames of
   the same ensemble. The only sequential coupling is the 16-CIF time
   deinterleaver; its 15-CIF history is exchanged with the left time-neighbor
-  via one lax.ppermute per subchannel per step (a few hundred KB over ICI),
-  after which every shard decodes its frames independently — continuous
-  decode across block seams with zero host round trips.
+  via ONE lax.ppermute carrying ALL subchannels' tails concatenated (a few
+  hundred KB over ICI), after which every shard decodes its frames
+  independently — continuous decode across block seams with zero host round
+  trips. The shard's trailing (edge) frames are demodulated FIRST so the
+  collective is issued before the bulk interior demod and can ride ICI
+  concurrently with it (VERDICT r2 item #1).
 
 A step-level carry holds the stream tail so consecutive step calls are
 seamless too (streaming resume, SURVEY.md sec 5.4).
@@ -46,6 +49,9 @@ class ShardedReceiveStep:
     mode: int
     subchannels: Tuple[SubchannelConfig, ...]
     window_offset: int = 12
+    # False replaces the halo ppermute with zeros (outputs wrong at seams);
+    # used ONLY by bench_scaling.py to isolate the collective's cost.
+    halo_exchange: bool = True
 
     def __post_init__(self):
         self.params = get_ofdm_params(self.mode)
@@ -98,12 +104,43 @@ class ShardedReceiveStep:
             f"15-CIF deinterleaver halo fits in one neighbor exchange "
             f"(got {t_l})")
         t_idx = lax.axis_index("time")
+        tile = (p.nb_frame_length // 128, 128)
 
-        flat_re = frames_re.reshape(e_l * t_l, p.nb_frame_length // 128, 128)
-        flat_im = frames_im.reshape(e_l * t_l, p.nb_frame_length // 128, 128)
-        freq_rep = jnp.repeat(freq_hz, t_l)
-        soft, _ = demod_frames_split(flat_re, flat_im, freq_rep, self.mode,
-                                     self.window_offset)
+        def demod(re, im, nf):
+            flat_re = re.reshape(e_l * nf, *tile)
+            flat_im = im.reshape(e_l * nf, *tile)
+            s, _ = demod_frames_split(flat_re, flat_im,
+                                      jnp.repeat(freq_hz, nf), self.mode,
+                                      self.window_offset)
+            return s.reshape(e_l, nf, -1)
+
+        # Demod the trailing edge frames FIRST: they alone determine the
+        # 15-CIF halo, so the single batched ppermute below is issued before
+        # the interior demod and overlaps with it on ICI.
+        edge_f = min(t_l, -(-_H // dab.nb_cifs))
+        soft_edge = demod(frames_re[:, t_l - edge_f:],
+                          frames_im[:, t_l - edge_f:], edge_f)
+        cifs_tail = soft_edge[:, :, dab.nb_fic_bits:].reshape(
+            e_l, edge_f * dab.nb_cifs, CIF_BITS)[:, -_H:]
+        # ONE collective for ALL subchannels: concatenated tail columns.
+        tail_cat = jnp.concatenate(
+            [lax.slice_in_dim(cifs_tail, cfg.start_cu * CU_BITS,
+                              cfg.start_cu * CU_BITS + cfg.slice_bits, axis=2)
+             for cfg in self.subchannels], axis=2)
+        if self.n_time > 1 and self.halo_exchange:
+            halo_cat = lax.ppermute(
+                tail_cat, "time",
+                perm=[(i, i + 1) for i in range(self.n_time - 1)])
+        else:
+            halo_cat = jnp.zeros_like(tail_cat)
+
+        if edge_f < t_l:
+            soft_int = demod(frames_re[:, : t_l - edge_f],
+                             frames_im[:, : t_l - edge_f], t_l - edge_f)
+            soft = jnp.concatenate([soft_int, soft_edge], axis=1)
+        else:
+            soft = soft_edge
+        soft = soft.reshape(e_l * t_l, -1)
 
         # FIC
         fic_profile = FIC_PROFILE_MODE3 if self.mode == 3 else FIC_PROFILE
@@ -116,20 +153,19 @@ class ShardedReceiveStep:
         fic_bytes = (viterbi_decode_bytes_best(mother, n_bits)
                      ^ prbs_by).reshape(e_l, 1, t_l * g, -1)
 
-        # MSC with halo exchange over 'time'
+        # MSC: the halo already arrived via the single batched ppermute above
         c_l = t_l * dab.nb_cifs
         cifs = soft[:, dab.nb_fic_bits:].reshape(e_l, c_l, CIF_BITS)
         subch_out, tails = {}, {}
+        col = 0
         for cfg in self.subchannels:
             lo = cfg.start_cu * CU_BITS
             sl = lax.slice_in_dim(cifs, lo, lo + cfg.slice_bits, axis=2)
-            tail = sl[:, -_H:, :]
-            if self.n_time > 1:
-                halo = lax.ppermute(
-                    tail, "time",
-                    perm=[(i, i + 1) for i in range(self.n_time - 1)])
-            else:
-                halo = jnp.zeros_like(tail)
+            tail = lax.slice_in_dim(tail_cat, col, col + cfg.slice_bits,
+                                    axis=2)
+            halo = lax.slice_in_dim(halo_cat, col, col + cfg.slice_bits,
+                                    axis=2)
+            col += cfg.slice_bits
             # time-shard 0 takes the step-level carry instead of the ppermute
             # result (which is zeros there)
             hist = jnp.where(t_idx == 0, carry[f"deint_{cfg.subch_id}"], halo)

@@ -65,6 +65,7 @@ class Impairments:
     """Channel impairments applied to a synthesized IQ stream."""
 
     freq_offset_hz: float = 0.0     # carrier frequency offset
+    freq_ramp_hz_per_s: float = 0.0  # linear CFO drift (oscillator walk)
     delay_samples: int = 0          # integer sample delay (prepended)
     snr_db: float | None = None     # AWGN SNR vs unit signal power; None = clean
     amplitude: float = 1.0
@@ -92,7 +93,11 @@ def apply_impairments(iq: np.ndarray, imp: Impairments,
     if imp.delay_samples:
         x = np.concatenate([np.zeros(imp.delay_samples, dtype=np.complex64), x])
     n = np.arange(x.shape[0], dtype=np.float64)
-    rot = np.exp(1j * (2 * np.pi * imp.freq_offset_hz * n / sampling_rate + imp.phase))
+    t = n / sampling_rate
+    # instantaneous f(t) = f0 + r*t  ->  phase = 2pi (f0 t + r t^2 / 2)
+    rot = np.exp(1j * (2 * np.pi * (imp.freq_offset_hz * t
+                                    + 0.5 * imp.freq_ramp_hz_per_s * t * t)
+                       + imp.phase))
     x = (imp.amplitude * x * rot).astype(np.complex64)
     if imp.snr_db is not None:
         rng = np.random.default_rng(imp.seed)
