@@ -136,8 +136,10 @@ def test_mot_object_roundtrip():
 
 
 def test_slideshow_manager_via_xpad():
+    from tpudab.mot.imagemeta import TINY_PNG
     rng = np.random.default_rng(1)
-    body = rng.integers(0, 256, 600).astype(np.uint8).tobytes()
+    # valid PNG + trailing payload (slides are validated on completion)
+    body = TINY_PNG + rng.integers(0, 256, 600 - len(TINY_PNG)).astype(np.uint8).tobytes()
     obj = MOTObject(transport_id=7, content_type=ContentType.IMAGE,
                     content_subtype=IMAGE_PNG, body=body,
                     content_name="np.png",
@@ -191,8 +193,9 @@ def test_packet_parse_fields():
 
 def test_packet_mode_slideshow_end_to_end():
     """Packet-mode data subchannel carrying an MOT slideshow."""
+    from tpudab.mot.imagemeta import TINY_JPEG
     rng = np.random.default_rng(3)
-    body = rng.integers(0, 256, 2000).astype(np.uint8).tobytes()
+    body = TINY_JPEG[:-2] + rng.integers(0, 256, 2000 - len(TINY_JPEG)).astype(np.uint8).tobytes() + b"\xff\xd9"
     obj = MOTObject(transport_id=99, content_type=ContentType.IMAGE,
                     content_subtype=1, body=body, content_name="img.jpg")
     mgr = SlideshowManager()
@@ -204,3 +207,102 @@ def test_packet_mode_slideshow_end_to_end():
     assert len(mgr.slides) == 1
     assert mgr.slides[0].data == body
     assert mgr.slides[0].image_format == "JPEG"
+
+
+def test_polyphase_resampler_quality_vs_scipy_oracle():
+    """VERDICT r2 item #9: image rejection + passband flatness of the
+    polyphase resampler, measured the same way as a scipy.signal
+    resample_poly oracle (never used in production)."""
+    scipy_signal = pytest.importorskip("scipy.signal")
+
+    def spur_db(y, f0, rate, nfft=32768):
+        w = np.hanning(nfft)
+        seg = y[1000:1000 + nfft]
+        spec = np.abs(np.fft.rfft(seg * w))
+        f = np.fft.rfftfreq(nfft, 1.0 / rate)
+        sig = spec[(f > f0 - 100) & (f < f0 + 100)].max()
+        return 20 * np.log10(spec[f > f0 + 500].max() / sig)
+
+    for src, dst in ((32000, 48000), (48000, 32000), (24000, 48000)):
+        x = np.sin(2 * np.pi * 1000.0 * np.arange(2 * src) / src)
+        rs = Resampler(src, dst)
+        y = np.concatenate([rs.process(np.stack([c, c], 1).astype(np.float32))
+                            for c in np.split(x, 16)], axis=0)[:, 0]
+        ours = spur_db(y, 1000.0, dst)
+        assert ours < -60.0, (src, dst, ours)
+        # oracle within the same harness (sanity that the metric is fair)
+        from fractions import Fraction
+        fr = Fraction(dst, src)
+        y2 = scipy_signal.resample_poly(x, fr.numerator, fr.denominator)
+        assert spur_db(y2, 1000.0, dst) < -60.0
+
+    # passband flatness: amplitude at tones across the band within 0.2 dB
+    for f0 in (440.0, 4000.0, 12000.0):
+        x = np.sin(2 * np.pi * f0 * np.arange(64000) / 32000)
+        rs = Resampler(32000, 48000)
+        y = np.concatenate([rs.process(np.stack([c, c], 1).astype(np.float32))
+                            for c in np.split(x, 16)], axis=0)[:, 0]
+        # RMS in vs out (scalloping-free passband gain measurement)
+        gain = np.sqrt((y[1000:-1000] ** 2).mean()) / np.sqrt((x ** 2).mean())
+        assert abs(20 * np.log10(gain)) < 0.2, (f0, gain)
+
+
+def test_polyphase_resampler_streaming_matches_oneshot():
+    """Chunked process() must equal one process() call (state continuity)."""
+    from tpudab.utils.resample import PolyphaseResampler
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(10000).astype(np.float32)
+    a = PolyphaseResampler(1.0 + 150e-6)
+    one = a.process(x)
+    b = PolyphaseResampler(1.0 + 150e-6)
+    parts = [b.process(c) for c in np.split(x, [1000, 1001, 4096, 9000])]
+    np.testing.assert_allclose(np.concatenate(parts), one, rtol=0, atol=1e-6)
+
+
+# ---------------- slideshow image validation ----------------
+
+def test_probe_image_formats_and_corruption():
+    """VERDICT r2 item #8 / reference texture.cpp:15-17: slide bodies are
+    structurally validated (signature + header CRC/markers + dimensions);
+    corrupt or truncated bodies are rejected."""
+    from tpudab.mot.imagemeta import probe_image, TINY_PNG, TINY_JPEG
+
+    png = probe_image(TINY_PNG)
+    assert png is not None and (png.format, png.width, png.height) == ("PNG", 4, 4)
+    jpg = probe_image(TINY_JPEG)
+    assert jpg is not None and (jpg.format, jpg.width, jpg.height) == ("JPEG", 4, 4)
+    gif = probe_image(b"GIF89a" + bytes([8, 0, 6, 0]) + b"\x00" * 20)
+    assert gif is not None and (gif.width, gif.height) == (8, 6)
+
+    assert probe_image(b"") is None
+    assert probe_image(b"junk" * 50) is None
+    assert probe_image(TINY_PNG[:20]) is None        # truncated
+    assert probe_image(TINY_JPEG[:40]) is None       # truncated before SOF
+    assert probe_image(TINY_JPEG[:-2]) is None       # missing EOI
+    bad = bytearray(TINY_PNG)
+    bad[20] ^= 0xFF                                  # corrupt IHDR -> CRC
+    assert probe_image(bytes(bad)) is None
+
+
+def test_slideshow_manager_rejects_corrupt_slide():
+    from tpudab.mot.imagemeta import TINY_PNG
+
+    rng = np.random.default_rng(5)
+    corrupt = rng.integers(0, 256, 400).astype(np.uint8).tobytes()
+    objs = [
+        MOTObject(transport_id=1, content_type=ContentType.IMAGE,
+                  content_subtype=IMAGE_PNG, body=corrupt,
+                  content_name="bad.png"),
+        MOTObject(transport_id=2, content_type=ContentType.IMAGE,
+                  content_subtype=IMAGE_PNG, body=TINY_PNG,
+                  content_name="good.png"),
+    ]
+    mgr = SlideshowManager()
+    for obj in objs:
+        for g in build_mot_object_groups(obj, segment_size=128):
+            mgr.push_data_group(g)
+    assert len(mgr.slides) == 1
+    assert mgr.slides[0].name == "good.png"
+    assert (mgr.slides[0].width, mgr.slides[0].height) == (4, 4)
+    assert mgr.rejected == 1

@@ -199,3 +199,40 @@ def test_cli_decode_checkpoint_resume(tmp_path):
                      "--checkpoint", ck]) == 0
     assert cli.main(["decode", str(tmp_path / "b.f32"), "--device-step",
                      "--resume", ck]) == 0
+
+
+# ---------------------------------------------------------------------------
+# dashboard parity: linked FM/DRM tables + per-service detail (VERDICT r2
+# item #7; reference render_radio_block.cpp:490-752)
+# ---------------------------------------------------------------------------
+
+def test_dashboard_renders_fm_drm_linkage_and_detail():
+    from tpudab.synth.ensemble import FMLinkSpec, DRMLinkSpec
+    from tpudab.models.receiver import Receiver
+    from tpudab.host.dashboard import render_text
+    from tpudab.host.controls import KeyController
+    from tpudab.utils.bits import bits_to_soft
+
+    spec = EnsembleSpec(
+        ensemble_id=0x5B5B, label="Link Mux",
+        services=[ServiceSpec(0xC601, "Linked", [(0, ASCTY_DAB_PLUS, 4)])],
+        subchannels=[SubchannelSpec(4, start_cu=0, size_cu=24,
+                                    protection=("eep", 3, 0))])
+    spec.fm_links = [FMLinkSpec(service_id=0xC601, rds_pi=0xC479,
+                                frequencies_hz=[95_800_000])]
+    spec.drm_links = [DRMLinkSpec(service_id=0xC601, drm_id=0x00A7,
+                                  frequencies_hz=[6_095_000])]
+    synth = EnsembleSynthesizer(spec, seed=13)
+    rx = Receiver()
+    for i in range(2):
+        rx.process_frame_bits(bits_to_soft(synth.frame_bits(i))[None])
+    assert 0xC479 in rx.db.fm_services
+
+    kc = KeyController(rx, None, read_key=lambda: None)
+    text = render_text(rx, controls=kc)
+    assert "linked services:" in text
+    assert "FM  RDS PI 0xC479" in text and "95.8MHz" in text
+    assert "DRM id 0x00A7" in text and "6095kHz" in text
+    assert "LSN" in text
+    # per-service detail for the selected channel
+    assert "subchannel 4: start_cu=0 size_cu=24 prot=EEP 3-A" in text

@@ -181,7 +181,8 @@ def test_dabplus_pad_dynamic_label_and_slideshow():
                            ps_flag=0, mpeg_surround=0)
     # PAD payload queue: dynamic label first, then an MOT slide
     label_segs = build_dynamic_label_segments("TPU DAB dynamic label")
-    img = rng.integers(0, 256, 300).astype(np.uint8).tobytes()
+    from tpudab.mot.imagemeta import TINY_PNG
+    img = TINY_PNG + rng.integers(0, 256, 300 - len(TINY_PNG)).astype(np.uint8).tobytes()
     obj = MOTObject(transport_id=5, content_type=ContentType.IMAGE,
                     content_subtype=3, body=img, content_name="s.png")
     mot_chunks = []

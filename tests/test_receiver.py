@@ -89,7 +89,8 @@ def test_packet_data_service_slideshow_end_to_end():
     from tpudab.utils.bits import bits_to_soft
 
     rng = np.random.default_rng(9)
-    img = rng.integers(0, 256, 1200).astype(np.uint8).tobytes()
+    from tpudab.mot.imagemeta import TINY_PNG
+    img = TINY_PNG + rng.integers(0, 256, 1200 - len(TINY_PNG)).astype(np.uint8).tobytes()
     obj = MOTObject(transport_id=42, content_type=ContentType.IMAGE,
                     content_subtype=1, body=img, content_name="cover.jpg")
     pkt_stream = b""

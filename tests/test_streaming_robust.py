@@ -47,7 +47,8 @@ def _run(iq, **kw):
 def test_clock_drift_holds_lock(ppm):
     """+-100 ppm sample-clock offset over a long capture: the per-batch PRS
     timing recheck must keep the lock (drift is ~19.7 samples/frame at
-    100 ppm — far beyond the old +-8-per-8-batches clamp)."""
+    100 ppm), and the fractional resampler must LEARN the rate so the
+    +/-32-sample jump corrections taper off instead of firing every batch."""
     iq = _capture(18)
     iq = apply_impairments(iq, Impairments(freq_offset_hz=800.0, snr_db=22,
                                            clock_ppm=ppm, seed=3))
@@ -56,8 +57,54 @@ def test_clock_drift_holds_lock(ppm):
     assert radio.stats.total_frames >= 14
     err_rate = st["fib_crc_errors"] / max(st["fibs"], 1)
     assert err_rate < 0.1, (err_rate, radio.stats)
-    assert radio.stats.timing_adjustments >= 2  # it actually tracked
+    assert radio.stats.timing_adjustments >= 1  # jump path trained it...
+    # ...and the learned rate matches the injected clock offset. (sign:
+    # +ppm RX clock stretches the signal -> consume >1 input per output)
+    assert abs(radio._drift_ppm - ppm) < 40.0, (radio._drift_ppm, ppm)
+    assert radio._resampler is not None
+    assert radio.stats.reacquisitions == 0
     assert radio.receiver.db.ensemble.label == "Drift Mux"
+
+
+@pytest.mark.slow
+def test_clock_drift_audio_continuity():
+    """STATUS r1 delta #4 / VERDICT r2 item #6: under +100 ppm clock drift
+    the decoded logical-frame byte stream must be CONTINUOUS — no dropped or
+    duplicated logical frames across timing corrections. Decodes the same
+    payload with and without drift and requires identical bytes."""
+    from tpudab.constants.puncture import eep_profile
+    from tpudab.msc.subchannel import SubchannelConfig
+    from tpudab.synth.modulator import modulate_frame_bits
+
+    n_frames = 16
+    spec = EnsembleSpec(
+        ensemble_id=0x77AB, label="Cont Mux",
+        services=[ServiceSpec(0xD223, "Cont", [(0, ASCTY_DAB_PLUS, 2)])],
+        subchannels=[SubchannelSpec(2, start_cu=0, size_cu=24,
+                                    protection=("eep", 3, 0))])
+    synth = EnsembleSynthesizer(spec, seed=8)
+    rng = np.random.default_rng(88)
+    data = rng.integers(0, 256, (n_frames * 4, 32 * 3)).astype(np.uint8)
+    synth.payload_fn[2] = lambda m: data[m].tobytes()
+    iq = np.concatenate([modulate_frame_bits(synth.frame_bits(i))
+                         for i in range(n_frames)])
+    iq = apply_impairments(iq, Impairments(snr_db=30, clock_ppm=100.0,
+                                           seed=9))
+
+    got = []
+    radio = StreamingRadio(_buffer_source(iq), batch_frames=2)
+    radio.run(on_outputs=lambda outs: got.extend(
+        o.raw_frames for o in outs.values()
+        if o.raw_frames is not None and len(o.raw_frames)))
+    stream = np.concatenate(got)
+    # continuous: every decoded logical frame matches the payload in order,
+    # no gaps/repeats (deinterleaver warm-up drops the first 15 logicals)
+    # the 16-deep deinterleaver delays the tail by 15 logicals and the
+    # resampler's filter history may cost the final (partial) transmission
+    # frame at stream end — but NOTHING inside may be missing or repeated
+    assert stream.shape[0] >= n_frames * 4 - 15 - 4, stream.shape
+    np.testing.assert_array_equal(stream, data[: stream.shape[0]])
+    assert radio.stats.reacquisitions == 0
 
 
 @pytest.mark.slow

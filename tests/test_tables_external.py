@@ -72,13 +72,105 @@ def test_uep_index_table_matches_standard_ordering():
 
 
 def test_uep_regions_satisfy_bit_budget_identity():
-    """The per-region (L, PI) split is reconstructed (see provenance.py);
-    the externally-checkable identity is that every row's punctured output
-    exactly fills size_cu * 64 bits and decodes bitrate*24 data bits."""
+    """Every row's punctured output exactly fills size_cu * 64 bits (with its
+    declared padding) and decodes bitrate*24 data bits — no more solved-at-
+    import rows (VERDICT r2 item #2)."""
     from tpudab.constants.puncture import _UEP_TABLE
-    for (br, pl), (prof, verified) in _UEP_TABLE.items():
+    for (br, pl), (prof, conf) in _UEP_TABLE.items():
         assert prof.consistent(), (br, pl)
         assert prof.data_bits == br * 24
+        assert conf in "arps"
+
+
+# ---------------------------------------------------------------------------
+# UEP region splits (L1..L4, PI1..PI4): second transcription, written down
+# here from the qt-dab/welle.io UEP-table lineage WITHOUT consulting the
+# tpudab source, then filtered by the exact bit-budget identity. Rows absent
+# from this dict are the ones where the transcription failed the budget and
+# the production table carries a budget-solved reconstruction instead
+# (tagged 's' — see tpudab/constants/puncture.py provenance comment).
+# ---------------------------------------------------------------------------
+
+UEP_REGIONS_SECOND_LINEAGE = {
+    (32, 5): ((3, 4, 17, 0), (5, 3, 2, 0)),
+    (32, 4): ((3, 3, 18, 0), (11, 6, 5, 0)),
+    (32, 3): ((3, 4, 14, 3), (16, 8, 6, 8)),
+    (32, 2): ((3, 4, 14, 3), (22, 13, 8, 13)),
+    (32, 1): ((3, 5, 13, 3), (24, 17, 12, 17)),
+    (48, 5): ((4, 3, 26, 3), (5, 4, 2, 3)),
+    (48, 4): ((3, 4, 26, 3), (9, 6, 4, 6)),
+    (48, 3): ((3, 4, 26, 3), (15, 10, 6, 9)),
+    (48, 2): ((3, 4, 26, 3), (24, 14, 8, 15)),
+    (48, 1): ((3, 5, 25, 3), (24, 18, 13, 18)),
+    (56, 5): ((6, 10, 23, 3), (5, 4, 2, 3)),
+    (56, 4): ((6, 10, 23, 3), (9, 6, 4, 5)),
+    (56, 3): ((6, 12, 21, 3), (16, 7, 6, 9)),
+    (56, 2): ((6, 10, 23, 3), (23, 13, 8, 13)),
+    (64, 5): ((6, 9, 31, 2), (5, 3, 2, 3)),
+    (64, 4): ((6, 9, 33, 0), (11, 6, 5, 0)),
+    (64, 3): ((6, 12, 27, 3), (16, 8, 6, 9)),
+    (64, 2): ((6, 10, 29, 3), (23, 13, 8, 13)),
+    (64, 1): ((6, 11, 28, 3), (24, 18, 12, 18)),
+    (80, 5): ((6, 10, 41, 3), (6, 3, 2, 3)),
+    (80, 4): ((6, 10, 41, 3), (11, 6, 5, 6)),
+    (80, 3): ((6, 11, 40, 3), (16, 8, 6, 7)),
+    (80, 2): ((6, 10, 41, 3), (23, 13, 8, 13)),
+    (80, 1): ((6, 10, 41, 3), (24, 17, 12, 18)),
+    (96, 5): ((7, 9, 53, 3), (5, 4, 2, 4)),
+    (96, 4): ((7, 10, 52, 3), (9, 6, 4, 6)),
+    (96, 3): ((6, 12, 51, 3), (16, 9, 6, 10)),
+    (96, 2): ((6, 10, 53, 3), (22, 12, 9, 12)),
+    (112, 5): ((14, 17, 50, 3), (5, 4, 2, 5)),
+    (112, 4): ((11, 21, 49, 3), (9, 6, 4, 8)),
+    (112, 3): ((11, 23, 47, 3), (16, 8, 6, 9)),
+    (112, 2): ((11, 21, 49, 3), (23, 12, 9, 14)),
+    (128, 5): ((12, 19, 62, 3), (5, 3, 2, 4)),
+    (128, 4): ((11, 21, 61, 3), (11, 6, 5, 7)),
+    (128, 1): ((11, 20, 62, 3), (24, 17, 13, 19)),
+    (160, 5): ((11, 19, 87, 3), (5, 4, 2, 4)),
+    (160, 4): ((11, 23, 83, 3), (11, 6, 5, 9)),
+    (160, 3): ((11, 24, 82, 3), (16, 8, 6, 11)),
+    (160, 1): ((11, 22, 84, 3), (24, 18, 12, 19)),
+    (192, 5): ((11, 20, 110, 3), (6, 4, 2, 5)),
+    (192, 4): ((11, 22, 108, 3), (10, 6, 4, 9)),
+    (192, 1): ((11, 21, 109, 3), (24, 20, 13, 24)),
+    (224, 5): ((12, 22, 131, 3), (8, 6, 2, 6)),
+    (224, 1): ((11, 24, 130, 3), (24, 20, 12, 20)),
+    (256, 5): ((11, 24, 154, 3), (6, 5, 2, 5)),
+    (256, 4): ((11, 24, 154, 3), (12, 9, 5, 10)),
+    (256, 3): ((11, 27, 151, 3), (16, 10, 7, 10)),
+    (256, 2): ((11, 22, 156, 3), (24, 14, 10, 13)),
+    (256, 1): ((11, 26, 152, 3), (24, 19, 14, 18)),
+    (320, 5): None,   # transcription failed the budget (pad 28) — solved row
+    (320, 4): ((11, 25, 201, 3), (13, 9, 5, 10)),
+    (320, 2): ((11, 26, 200, 3), (24, 17, 9, 17)),
+    (384, 5): ((11, 27, 247, 3), (8, 6, 2, 7)),
+    (384, 3): ((11, 24, 250, 3), (16, 9, 7, 10)),
+    (384, 1): ((12, 28, 245, 3), (24, 20, 14, 23)),
+}
+
+
+def test_uep_regions_match_second_lineage():
+    """Production rows must equal the independent transcription wherever the
+    transcription is budget-valid; solved rows ('s') must be flagged."""
+    from tpudab.constants.puncture import _UEP_TABLE, uep_row_confidence
+
+    checked = 0
+    for key, fix in UEP_REGIONS_SECOND_LINEAGE.items():
+        if fix is None:
+            assert uep_row_confidence(*key) == "s"
+            continue
+        prof, conf = _UEP_TABLE[key]
+        assert tuple(prof.l) == fix[0], (key, prof.l, fix[0])
+        assert tuple(p if l else 0 for l, p in zip(prof.l, prof.pi)) \
+            == fix[1], (key, prof.pi, fix[1])
+        assert conf in "arp", key
+        checked += 1
+    assert checked >= 54
+    # every row NOT covered by the transcription is explicitly tagged solved
+    for key, (prof, conf) in _UEP_TABLE.items():
+        if key not in UEP_REGIONS_SECOND_LINEAGE:
+            assert conf == "s", key
 
 
 def test_uep_index_roundtrip_database_entities():
@@ -220,8 +312,9 @@ def test_prs_mode1_phases_match_fixture():
 @pytest.mark.parametrize("mode,k_half", [(1, 768), (2, 192), (3, 96), (4, 384)])
 def test_prs_structural_invariants(mode, k_half):
     """All modes: full carrier coverage, QPSK phase alphabet, and k'=-k_half
-    block alignment (blocks of 32, i cycling 0,1,2,3 negative / 0,3,2,1
-    positive — the structure the standard's tables follow)."""
+    block alignment (blocks of 32). Modes I and IV follow the i cycles
+    0,1,2,3 (negative) / 0,3,2,1 (positive); modes II and III have their own
+    i patterns (see MODE*_BLOCKS fixtures below)."""
     from tpudab.constants.prs import get_prs_phases, _blocks_for_mode
     ph = get_prs_phases(mode)
     assert ph.shape == (2 * k_half,)
@@ -230,12 +323,80 @@ def test_prs_structural_invariants(mode, k_half):
     assert len(blocks) == 2 * k_half // 32
     neg = [b for b in blocks if b[0] < 0]
     pos = [b for b in blocks if b[0] > 0]
-    assert [b[3] for b in neg] == [j % 4 for j in range(len(neg))]
-    assert [b[3] for b in pos] == [(0, 3, 2, 1)[j % 4] for j in range(len(pos))]
+    if mode in (1, 4):
+        assert [b[3] for b in neg] == [j % 4 for j in range(len(neg))]
+        assert [b[3] for b in pos] == [(0, 3, 2, 1)[j % 4]
+                                       for j in range(len(pos))]
     assert neg[0][0] == -k_half and pos[0][0] == 1
     covered = sorted(k for (kmin, kmax, _, _, _) in blocks
                      for k in range(kmin, kmax + 1) if k != 0)
     assert covered == [k for k in range(-k_half, k_half + 1) if k != 0]
+
+
+# Modes II-IV block tables (k', i, n), welle.io phase-table lineage — the
+# same lineage whose mode-I rows (MODE1_BLOCKS above) match the externally
+# verified mode-I table bit-for-bit, calibrating the transcription.
+MODE2_BLOCKS = [
+    (-192, 0, 2), (-160, 1, 3), (-128, 2, 2), (-96, 3, 2), (-64, 0, 1),
+    (-32, 1, 2),
+    (1, 2, 0), (33, 1, 2), (65, 0, 2), (97, 3, 1), (129, 2, 0), (161, 1, 3),
+]
+MODE3_BLOCKS = [
+    (-96, 0, 2), (-64, 1, 3), (-32, 2, 0),
+    (1, 3, 2), (33, 2, 2), (65, 1, 2),
+]
+MODE4_BLOCKS = [
+    (-384, 0, 0), (-352, 1, 1), (-320, 2, 1), (-288, 3, 2), (-256, 0, 2),
+    (-224, 1, 2), (-192, 2, 0), (-160, 3, 3), (-128, 0, 3), (-96, 1, 1),
+    (-64, 2, 3), (-32, 3, 2),
+    (1, 0, 0), (33, 3, 1), (65, 2, 0), (97, 1, 2), (129, 0, 0), (161, 3, 1),
+    (193, 2, 2), (225, 1, 2), (257, 0, 2), (289, 3, 1), (321, 2, 3),
+    (353, 1, 0),
+]
+
+
+@pytest.mark.parametrize("mode,blocks,k_half",
+                         [(2, MODE2_BLOCKS, 192), (3, MODE3_BLOCKS, 96),
+                          (4, MODE4_BLOCKS, 384)])
+def test_prs_mode234_phases_match_fixture(mode, blocks, k_half):
+    """Recompute phi_k from the fixture tables only, compare to production."""
+    from tpudab.constants.prs import get_prs_phases
+    h = np.array(H_FIXTURE)
+    phases = {}
+    for (kp, i, n) in blocks:
+        for k in range(kp, kp + 32):
+            if k == 0 or abs(k) > k_half:
+                continue
+            phases[k] = (h[i, k - kp] + n) % 4
+    ks = [k for k in range(-k_half, k_half + 1) if k != 0]
+    want = np.array([phases[k] for k in ks])
+    np.testing.assert_array_equal(get_prs_phases(mode), want)
+
+
+def test_prs_low_papr_design_property():
+    """Independent structural validation of the (i, n) tables: EN 300 401's
+    TFPR was chosen for a low-PAPR time-domain reference. With the correct
+    tables the PRS PAPR sits near 5-7 for every mode; shuffling the n values
+    raises it to ~9-14 (measured). A mis-transcribed table reads as random
+    here — this catches digit errors the coverage checks cannot."""
+    from tpudab.constants.prs import get_prs_time, get_prs_spectrum
+
+    rng = np.random.default_rng(0)
+    for mode in (1, 2, 3, 4):
+        t = get_prs_time(mode)
+        papr = float(np.max(np.abs(t) ** 2) / np.mean(np.abs(t) ** 2))
+        assert papr < 7.5, (mode, papr)
+        # baseline: same spectrum magnitude, scrambled per-block phases
+        spec = get_prs_spectrum(mode)
+        worse = 0
+        for _ in range(10):
+            ph = np.exp(1j * (np.pi / 2) * rng.integers(
+                0, 4, spec.shape[0] // 32).repeat(32))
+            s2 = spec * ph[: spec.shape[0]]
+            t2 = np.fft.ifft(s2)
+            papr2 = float(np.max(np.abs(t2) ** 2) / np.mean(np.abs(t2) ** 2))
+            worse += papr2 > papr
+        assert worse >= 7, (mode, papr, worse)
 
 
 # ---------------------------------------------------------------------------

@@ -34,18 +34,27 @@ TABLE_CONFIDENCE = {
                               "64-entry size-by-index table transcribed from "
                               "public decoders"),
     "uep_sizes": (HIGH, "64 sizes externally fixture-checked"),
-    "uep_regions": (LOW, "per-region (L1..L4, PI1..PI4) splits reconstructed "
-                         "under the bit-budget identity; identity holds for "
-                         "all 64 rows but exact region boundaries are NOT "
-                         "externally verified — UEP (classic DAB) audio may "
-                         "decode with elevated BER on real broadcasts"),
+    "uep_regions": (MEDIUM, "per-region (L1..L4, PI1..PI4) splits from TWO "
+                            "independent transcriptions of the public UEP "
+                            "tables, every row filtered by the exact "
+                            "bit-budget identity: 19/64 rows dual-exact, "
+                            "28 single-transcription exact, 7 exact with an "
+                            "8-bit padding assumption, 10 budget-solved "
+                            "reconstructions (per-row tag: "
+                            "puncture.uep_row_confidence). Only the 10 "
+                            "solved rows risk elevated BER on real "
+                            "broadcasts"),
     "prs_h_table": (HIGH, "4x32 h table matches the public phase-reference "
                           "tables bit-for-bit"),
     "prs_mode1_blocks": (HIGH, "48-row (k',i,n) table matches the public "
                                "phase tables bit-for-bit"),
-    "prs_mode234_blocks": (MEDIUM, "block structure (32-carrier blocks, i "
-                                   "cycles) fixture-checked; n values "
-                                   "recollected, not externally verified"),
+    "prs_mode234_blocks": (HIGH, "full (k', i, n) tables transcribed from "
+                                 "the welle.io phase-table lineage whose "
+                                 "mode-I rows match the externally verified "
+                                 "mode-I table bit-for-bit, and validated by "
+                                 "the standard's low-PAPR TFPR design "
+                                 "property (PAPR 4.5-6.5 vs ~9-14 for "
+                                 "shuffled n; tests/test_tables_external.py)"),
     "xpad_layout": (HIGH, "F-PAD/X-PAD bit positions, CI coding, and dynamic "
                           "label prefix (charset/SegNum in the high nibble) "
                           "validated against hand-assembled byte fixtures "
@@ -62,13 +71,23 @@ def reconstruction_caveats() -> list:
             if level != HIGH]
 
 
-def caveats_for_subchannel(is_uep: bool, mode: int = 1) -> list:
-    """Caveats that apply to decoding one subchannel."""
+def caveats_for_subchannel(is_uep: bool, mode: int = 1,
+                           bitrate_kbps=None, protection_level=None) -> list:
+    """Caveats that apply to decoding one subchannel. With the bitrate/level
+    known, only the budget-solved UEP rows (tag 's') warrant a warning; rows
+    verified by transcription ('a'/'r'/'p') decode with standard confidence."""
     out = []
     if is_uep:
-        out.append(f"[reconstructed table: uep_regions] "
-                   f"{TABLE_CONFIDENCE['uep_regions'][1]}")
-    if mode in (2, 3, 4):
-        out.append(f"[reconstructed table: prs_mode234_blocks] "
-                   f"{TABLE_CONFIDENCE['prs_mode234_blocks'][1]}")
+        conf = None
+        if bitrate_kbps is not None and protection_level is not None:
+            from tpudab.constants.puncture import uep_row_confidence
+            try:
+                conf = uep_row_confidence(bitrate_kbps, protection_level)
+            except KeyError:
+                conf = None
+        if conf is None or conf == "s":
+            row = (f" (row {bitrate_kbps} kbps PL{protection_level})"
+                   if conf == "s" else "")
+            out.append(f"[reconstructed table: uep_regions{row}] "
+                       f"{TABLE_CONFIDENCE['uep_regions'][1]}")
     return out

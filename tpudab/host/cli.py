@@ -58,9 +58,15 @@ def _print_db(receiver) -> None:
     print(f"DB: total={stats.total} completed={stats.completed} "
           f"updates={stats.updates} conflicts={stats.conflicts}")
     from tpudab.constants.provenance import caveats_for_subchannel
+    from tpudab.constants.puncture import uep_index_order
     caveats = set()
     for sub in db.subchannels.values():
-        caveats.update(caveats_for_subchannel(sub.is_uep, receiver.mode))
+        br = pl = None
+        if sub.is_uep and 0 <= sub.uep_index < 64:
+            br, pl = uep_index_order()[sub.uep_index]
+        caveats.update(caveats_for_subchannel(sub.is_uep, receiver.mode,
+                                              bitrate_kbps=br,
+                                              protection_level=pl))
     for c in sorted(caveats):
         print(f"note: {c}")
 
@@ -233,11 +239,7 @@ def _mp2_tone_stream(bitrate: int, n_logical: int) -> np.ndarray:
         n_logical, bitrate * 3)
 
 
-# a tiny valid 4x4 red PNG for the demo slideshow
-_DEMO_PNG = bytes.fromhex(
-    "89504e470d0a1a0a0000000d49484452000000040000000408020000002"
-    "6934f7c0000001549444154789c62f8cfc0f09f81818181010404000efe"
-    "02fe5f3bafb60000000049454e44ae426082")
+from tpudab.mot.imagemeta import TINY_PNG as _DEMO_PNG  # demo slideshow
 
 
 def _dabplus_stream(bitrate: int, n_logical: int) -> np.ndarray:

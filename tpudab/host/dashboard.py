@@ -126,6 +126,37 @@ def render_text(receiver, stats=None, audio=None, width: int = 78,
                 f"{(sub.protection_label if sub else '?'):<8}"
                 f"{(sub.bitrate_kbps if sub else 0) or 0:>4} {kind:<5} "
                 f"{status} {label_extra}")
+    # linked-service tables (FIG 0/6 linkage + FIG 0/21 frequencies): the
+    # reference's per-service linked FM/RDS and DRM tables
+    # (/root/reference/src/render_radio_block.cpp:490-752)
+    if db.fm_services or db.drm_services or db.link_services:
+        lines.append(" linked services:")
+        for lsn, link in sorted(db.link_services.items()):
+            flags = "".join(["A" if link.active else "-",
+                             "H" if link.hard else "S",
+                             "I" if link.international else "-"])
+            sid = f" sid=0x{link.service_id:04X}" if link.service_id else ""
+            lines.append(f"   LSN {lsn:<5} [{flags}]{sid}")
+        for pi, fm in sorted(db.fm_services.items()):
+            freqs = " ".join(f"{f / 1e6:.1f}MHz" for f in fm.frequencies)
+            lines.append(f"   FM  RDS PI 0x{pi:04X}  LSN {fm.link_session}"
+                         f"  {freqs}")
+        for did, drm in sorted(db.drm_services.items()):
+            freqs = " ".join(f"{f / 1e3:.0f}kHz" for f in drm.frequencies)
+            lines.append(f"   DRM id 0x{did:04X}  LSN {drm.link_session}"
+                         f"  {freqs}")
+    # per-service detail for the selected channel (subchannel geometry —
+    # reference detail view tables, render_radio_block.cpp:490-752)
+    if controls is not None:
+        sel = controls.selected_id()
+        if sel is not None:
+            sub = db.subchannels.get(sel)
+            if sub is not None:
+                lines.append(
+                    f" subchannel {sel}: start_cu={sub.start_cu} "
+                    f"size_cu={sub.size_cu} prot={sub.protection_label} "
+                    f"{sub.bitrate_kbps or '?'} kbps "
+                    f"fec={getattr(sub, 'fec_scheme', 0)}")
     st = receiver.updater.stats
     lines.append(bar)
     lines.append(f" DB: total={st.total} completed={st.completed} "
@@ -138,8 +169,12 @@ def render_text(receiver, stats=None, audio=None, width: int = 78,
             slides.extend(mgr.slides)
     if slides:
         lines.append(f" slideshows: " + ", ".join(
-            f"{s.name or s.transport_id}({s.image_format},{len(s.data)}B)"
-            for s in slides[:6]))
+            f"{s.name or s.transport_id}({s.image_format} {s.width}x{s.height}"
+            f",{len(s.data)}B)" for s in slides[:6]))
+    rejected = sum(getattr(getattr(ch, "slideshow", None), "rejected", 0)
+                   for ch in receiver.channels.values())
+    if rejected:
+        lines.append(f" slideshows rejected (corrupt): {rejected}")
     if audio is not None:
         lines.append(f" audio: sink={audio.sink_rate} Hz "
                      f"gain={audio.global_gain:.2f} "

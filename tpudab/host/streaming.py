@@ -61,7 +61,8 @@ class StreamingRadio:
                  fib_error_ema_beta: float = 0.5,
                  desync_threshold: float = 0.35,
                  is_coarse_freq_correction: bool = True,
-                 coarse_check_interval: int = 4):
+                 coarse_check_interval: int = 4,
+                 drift_resample: bool = True):
         self.source = source
         self.mode = mode
         self.params = get_ofdm_params(mode)
@@ -79,6 +80,13 @@ class StreamingRadio:
         self.is_coarse_freq_correction = is_coarse_freq_correction
         self.coarse_check_interval = coarse_check_interval
         self.timers = StageTimer()
+        # fractional sample-clock drift compensation (VERDICT r2 item #6):
+        # the tracked ppm rate retunes a polyphase resampler on the ring
+        # read, so timing stays continuous instead of +/-32-sample jumps
+        # (which remain as the coarse fallback / training signal)
+        self.drift_resample = drift_resample
+        self._drift_ppm = 0.0
+        self._resampler = None
         self.stats = StreamingStats()
         self._residual = np.zeros(0, dtype=np.complex64)
         self._decoders: Dict[int, object] = {}
@@ -88,12 +96,21 @@ class StreamingRadio:
 
     # ---------------- internals ----------------
 
+    def _read(self, n: int):
+        """One source read, through the drift resampler when active."""
+        if self._resampler is None:
+            return self.source(n)
+        c = self.source(max(int(n * self._resampler.ratio) + 32, 64))
+        if c is None or len(c) == 0:
+            return c
+        return self._resampler.process(np.asarray(c, np.complex64))
+
     def _fill(self, n: int) -> np.ndarray:
         """Read until n samples available (or stream end)."""
         chunks = [self._residual]
         have = self._residual.shape[0]
         while have < n:
-            c = self.source(n - have)
+            c = self._read(n - have)
             if c is None or len(c) == 0:
                 break
             c = np.asarray(c, dtype=np.complex64)
@@ -187,7 +204,8 @@ class StreamingRadio:
         self.stats.net_freq_hz = (self.stats.coarse_freq_hz
                                   + self.stats.fine_freq_hz)
 
-        # timing drift check
+        # timing drift check; each jump also trains the fractional
+        # resampler's ppm estimate so jumps taper off once the rate matches
         if self._batches % self.timing_check_interval == 0:
             adj = self._timing_recheck(frames)
             if adj:
@@ -197,6 +215,19 @@ class StreamingRadio:
                 else:
                     pad = frames[-1][adj:]
                     self._residual = np.concatenate([pad, self._residual])
+            if self.drift_resample:
+                batches = max(self.timing_check_interval, 1)
+                span = batches * nf * p.nb_frame_length
+                # adj is the RESIDUAL drift after the current correction:
+                # integrate with gain 0.5 (a damped servo on the ppm rate)
+                self._drift_ppm += 0.5 * (adj / span * 1e6)
+                if abs(self._drift_ppm) > 2.0:
+                    from tpudab.utils.resample import PolyphaseResampler
+                    ratio = 1.0 + self._drift_ppm * 1e-6
+                    if self._resampler is None:
+                        self._resampler = PolyphaseResampler(ratio)
+                    else:
+                        self._resampler.set_ratio(ratio)
 
     def _coarse_triage(self, frames: np.ndarray, spacing: float) -> bool:
         """Desync triage: before giving up and reacquiring, check whether the

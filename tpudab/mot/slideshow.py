@@ -31,6 +31,8 @@ class Slideshow:
     alt_location_url: str = ""
     trigger_time: Optional[bytes] = None
     expire_time: Optional[bytes] = None
+    width: int = 0          # validated image dimensions (imagemeta probe)
+    height: int = 0
 
     @property
     def image_format(self) -> str:
@@ -45,6 +47,8 @@ class SlideshowManager:
         self._order: List[int] = []
         self._lock = threading.Lock()
         self.max_slides = max_slides
+        self.rejected = 0   # corrupt/truncated slide bodies (texture.cpp
+        #                     parity: stb_image load failure drops the slide)
         self.assembler = MOTAssembler(on_object=self._on_object)
 
     def push_data_group(self, raw: bytes) -> None:
@@ -52,6 +56,14 @@ class SlideshowManager:
 
     def _on_object(self, obj: MOTObject) -> None:
         if not obj.is_image:
+            return
+        # validate the body before accepting (reference decodes via
+        # stb_image and rejects non-PNG/JPEG or corrupt data,
+        # /root/reference/src/texture.cpp:15-17)
+        from tpudab.mot.imagemeta import probe_image
+        info = probe_image(obj.body)
+        if info is None:
+            self.rejected += 1
             return
         p = obj.params
         cat = p.get(PARAM_CATEGORY_SLIDE_ID, b"\x00\x00")
@@ -67,6 +79,8 @@ class SlideshowManager:
             alt_location_url=p.get(PARAM_ALT_LOCATION_URL, b"").decode("latin-1", "replace"),
             trigger_time=p.get(PARAM_TRIGGER_TIME),
             expire_time=p.get(PARAM_EXPIRE_TIME),
+            width=info.width,
+            height=info.height,
         )
         with self._lock:
             if slide.transport_id not in self._slides:
