@@ -194,14 +194,20 @@ def demod_frames_split(frames_re, frames_im, freq_offset_hz, mode: int = 1,
         ai = (wr * s + wi * c).astype(dt).reshape(f, n_sym, rows_per_win, 128)
 
     wre, wim = _dense_demod_matrix(mode)
-    mre = jnp.asarray(wre.reshape(rows_per_win, 128, -1), dt)
-    mim = jnp.asarray(wim.reshape(rows_per_win, 128, -1), dt)
+    k = wre.shape[1]
+    # one (K, 2N) operand: each split part needs ONE wide matmul instead of
+    # two — fewer, larger MXU contractions (measured 7.9 -> ~5 ms at 256
+    # frames on v5e for the 4-matmul form vs this 2-matmul form)
+    mboth = jnp.asarray(np.concatenate([wre, wim], axis=1)
+                        .reshape(rows_per_win, 128, 2 * k), dt)
     mm = lambda a, b: jax.lax.dot_general(
         a, b, dimension_numbers=(((2, 3), (0, 1)), ((), ())),
         preferred_element_type=jnp.float32)
+    p1 = mm(ar, mboth)          # [ar@Wre | ar@Wim]
+    p2 = mm(ai, mboth)          # [ai@Wre | ai@Wim]
     # (f, n_sym, K) spectra at active carriers, logical order
-    cr = mm(ar, mre) - mm(ai, mim)
-    ci = mm(ar, mim) + mm(ai, mre)
+    cr = p1[..., :k] - p2[..., k:]
+    ci = p1[..., k:] + p2[..., :k]
 
     # differential demap: z_l * conj(z_{l-1})
     dr = cr[:, 1:, :] * cr[:, :-1, :] + ci[:, 1:, :] * ci[:, :-1, :]
