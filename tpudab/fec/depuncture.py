@@ -71,6 +71,13 @@ def depuncture(soft_bits, profile: PunctureProfile):
     lead = soft_bits.shape[:-1]
     outs = []
     off = 0
+    # Accumulate in the operand dtype: every output element is a sum with at
+    # most ONE nonzero product (one-hot columns), so a bf16 accumulator is
+    # exact up to the bf16 rounding the inputs already carry — and emitting
+    # bf16 straight from the MXU halves the output HBM traffic vs f32 +
+    # downcast (the final astype becomes a no-op).
+    acc_dt = soft_bits.dtype if soft_bits.dtype == jnp.bfloat16 \
+        else jnp.float32
     for n_blocks, kpb, one_hot in runs:
         seg = jax.lax.slice_in_dim(soft_bits, off, off + n_blocks * kpb, axis=-1)
         seg = seg.reshape(lead + (n_blocks, kpb))
@@ -79,7 +86,7 @@ def depuncture(soft_bits, profile: PunctureProfile):
         expanded = jax.lax.dot_general(
             seg, jnp.asarray(one_hot, dtype=seg.dtype),
             dimension_numbers=(((seg.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=acc_dt)
         outs.append(expanded.reshape(lead + (n_blocks * one_hot.shape[1],)))
         off += n_blocks * kpb
     out = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]

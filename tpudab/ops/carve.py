@@ -61,13 +61,18 @@ def _make_kernel(mode: int, window_offset: int, fb: int):
                 # window = flat[a : a+n_fft] out of the (rows, 128) layout:
                 # lane-rotate the two candidate row blocks left by the lane
                 # phase and select per lane (Mosaic cannot concat slices with
-                # mismatched sublane offsets, but roll+select lowers fine)
+                # mismatched sublane offsets, but roll+select lowers fine).
+                # Slices upcast to f32 first: tpu.dynamic_rotate is 32-bit
+                # only (bf16 input frames otherwise fail to compile), and the
+                # PLL multiply needs f32 anyway.
                 if ph_lane == 0:
-                    return v[:, r0:r0 + rows_per_win, :]
-                lo = pltpu.roll(v[:, r0:r0 + rows_per_win, :],
-                                _LANES - ph_lane, 2)
-                hi = pltpu.roll(v[:, r0 + 1:r0 + 1 + rows_per_win, :],
-                                _LANES - ph_lane, 2)
+                    return v[:, r0:r0 + rows_per_win, :].astype(jnp.float32)
+                lo = pltpu.roll(
+                    v[:, r0:r0 + rows_per_win, :].astype(jnp.float32),
+                    _LANES - ph_lane, 2)
+                hi = pltpu.roll(
+                    v[:, r0 + 1:r0 + 1 + rows_per_win, :].astype(jnp.float32),
+                    _LANES - ph_lane, 2)
                 return jnp.where(lane < _LANES - ph_lane, lo, hi)
 
             wr, wi = win(vr), win(vi)
@@ -102,6 +107,10 @@ def carve_rotate(frames_re, frames_im, freq_hz, mode: int = 1,
     assert p.nb_frame_length % _LANES == 0 and p.nb_fft % _LANES == 0
     frame_rows = p.nb_frame_length // _LANES
     assert frames_re.shape[1:] == (frame_rows, _LANES), frames_re.shape
+    # bf16 input frames are supported (and preferred on the hot path: SDR
+    # IQ is 8-12 bit ADC data, exactly representable in bf16's 8-bit
+    # mantissa; halves the kernel's dominant DMA-in traffic). The rotation
+    # tables stay f32; in-kernel multiplies promote per element.
 
     # frames per program: largest power of two dividing f (cap 8 to stay
     # well under VMEM with double buffering: 8 frames = 12.6 MB f32 in)
