@@ -232,3 +232,23 @@ def test_deinterleave_batch_matches_gather_oracle():
     np.testing.assert_array_equal(got, want)
     got1 = np.asarray(deinterleave_batch(jnp.asarray(buf[0]), c))
     np.testing.assert_array_equal(got1, want[0])
+
+
+def test_deinterleave_pallas_matches_xla():
+    """Pallas deinterleave kernel (interpret) == XLA mask-select form,
+    bit-for-bit, f32 + bf16, 2D + 3D."""
+    import jax.numpy as jnp
+    from tpudab.msc.interleave import deinterleave_pallas, _deinterleave_xla
+    rng = np.random.default_rng(11)
+    for e, c, s in ((1, 8, 128), (3, 64, 1024), (2, 17, 256)):
+        buf = jnp.asarray(rng.normal(0, 1, (e, c + 15, s)).astype(np.float32))
+        want = _deinterleave_xla(buf, c)
+        got = deinterleave_pallas(buf, c, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        got2 = deinterleave_pallas(buf[0], c, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got2), np.asarray(want[0]))
+        bufh = buf.astype(jnp.bfloat16)
+        np.testing.assert_array_equal(
+            np.asarray(deinterleave_pallas(bufh, c, interpret=True)
+                       .astype(jnp.float32)),
+            np.asarray(_deinterleave_xla(bufh, c).astype(jnp.float32)))

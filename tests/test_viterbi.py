@@ -54,3 +54,24 @@ def test_pallas_bytes_matches_scan_pack():
     got = np.asarray(viterbi_decode_pallas_bytes(
         jnp.asarray(soft), n_bits, interpret=True))
     np.testing.assert_array_equal(got, ref_bytes)
+
+
+def test_pallas_bf16_soft_matches_scan_on_quantized():
+    """bf16 soft bits through the Pallas path (bf16 branch-metric matmul,
+    f32 path metrics) must decode identically to the XLA scan decoder fed
+    the same bf16-quantized soft values."""
+    import jax.numpy as jnp
+    from tpudab.ops.viterbi import viterbi_decode
+    from tpudab.ops.viterbi_pallas import (viterbi_decode_pallas,
+                                           viterbi_decode_pallas_bytes)
+    from tpudab.utils.bits import pack_bits
+    rng = np.random.default_rng(13)
+    b, n_bits = 8, 256
+    soft = rng.standard_normal((b, n_bits + 6, 4)).astype(np.float32)
+    sb = jnp.asarray(soft).astype(jnp.bfloat16)
+    ref_bits = np.asarray(viterbi_decode(sb.astype(jnp.float32), n_bits))
+    got_bits = np.asarray(viterbi_decode_pallas(sb, n_bits, interpret=True))
+    np.testing.assert_array_equal(got_bits, ref_bits)
+    got_bytes = np.asarray(viterbi_decode_pallas_bytes(
+        sb, n_bits, interpret=True))
+    np.testing.assert_array_equal(got_bytes, pack_bits(ref_bits))

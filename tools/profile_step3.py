@@ -42,6 +42,7 @@ def main():
     e, f = 16, 16
     step = ReceiveStep(mode=1, subchannels=_bench_subchannels(), n_ensembles=e)
     carry, fr, fi, freq = step.example_args(n_frames=f, seed=0)
+    fr = fr.astype(jnp.bfloat16); fi = fi.astype(jnp.bfloat16)
     dab = get_dab_params(1)
     subch = step.subchannels
     c = f * dab.nb_cifs

@@ -93,6 +93,49 @@ def depuncture(soft_bits, profile: PunctureProfile):
     return out[..., :n_mother].astype(soft_bits.dtype)
 
 
+def depuncture_t(soft_bits, profile: PunctureProfile):
+    """Punctured soft (..., B, S) -> mother-TRANSPOSED (T2p, 8, B) with
+    zeros at punctured slots and at the trailing 128-bit block pad;
+    T2p = n_blocks * 16 (8 mother bits per radix-2 Viterbi super-step).
+
+    This is the layout the Pallas Viterbi forward kernel consumes directly
+    (batch on lanes, one tile-aligned sublane slice per super-step), so
+    emitting it straight from the one-hot matmul — via a batched
+    dot_general whose output is (n_blocks, 128, B) — deletes the full
+    (B, T, 4) -> (T2, 8, B) HBM transpose pass AND the explicit 1.0-flush
+    pad from the decode chain (~2 ms at production batch on v5e).
+
+    The zero-pad region is traceback-neutral FOR TERMINATED CODEWORDS
+    (every DAB codeword carries 6 tail bits): after the real tail, the
+    survivor at state 0 dominates, and zero branch metrics tie every
+    transition — ties resolve to j=0, which keeps the state-0 path, so
+    the decode is bit-identical to the flush-padded form
+    (tools/exp_depunct_t.py validates this against the production path).
+    """
+    soft_bits = jnp.asarray(soft_bits)
+    b = soft_bits.shape[0]
+    n_mother, runs = _block_runs(profile)
+    acc_dt = soft_bits.dtype if soft_bits.dtype == jnp.bfloat16 \
+        else jnp.float32
+    outs = []
+    off = 0
+    for n_blocks, kpb, one_hot in runs:
+        seg = jax.lax.slice_in_dim(soft_bits, off, off + n_blocks * kpb,
+                                   axis=-1).reshape(b, n_blocks, kpb)
+        lhs = jnp.asarray(np.broadcast_to(one_hot.T[None],
+                                          (n_blocks,) + one_hot.T.shape),
+                          dtype=soft_bits.dtype)  # (n_blocks, 128, kpb)
+        out = jax.lax.dot_general(
+            lhs, seg,
+            dimension_numbers=(((2,), (2,)), ((0,), (1,))),
+            preferred_element_type=acc_dt)  # (n_blocks, 128, B)
+        outs.append(out.astype(soft_bits.dtype))
+        off += n_blocks * kpb
+    m = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+    nb = m.shape[0]
+    return m.reshape(nb * 128 // 8, 8, b)
+
+
 def depuncture_np(soft_bits: np.ndarray, profile: PunctureProfile) -> np.ndarray:
     idx = _keep_indices(profile)
     n_mother = profile.mask().shape[0]

@@ -24,12 +24,13 @@ from tpudab.constants.ofdm_params import get_ofdm_params
 from tpudab.constants.dab_params import get_dab_params, CIF_BITS, CU_BITS
 from tpudab.constants.puncture import FIC_PROFILE, FIC_PROFILE_MODE3
 from tpudab.fec.prbs import prbs_bits
-from tpudab.fec.depuncture import depuncture
+from tpudab.fec.depuncture import depuncture, depuncture_t
 from tpudab.msc.subchannel import SubchannelConfig
 from tpudab.msc.interleave import deinterleave_batch, TIME_INTERLEAVE_DEPTH
 from tpudab.ofdm.demod import demod_frames_split
 from tpudab.ops.viterbi_pallas import (viterbi_decode_best as viterbi_decode,
-                                       viterbi_decode_bytes_best)
+                                       viterbi_decode_bytes_best,
+                                       viterbi_decode_bytes_best_t)
 from tpudab.utils.bits import jnp_pack_bits, pack_bits
 
 
@@ -44,6 +45,20 @@ def _decode_descramble(mother, n_bits: int):
     energy-dispersal descramble as a byte-level XOR — avoids materializing
     the (B, n_bits) bit plane (a 1.4 ms/step padded-layout pack on v5e)."""
     by = viterbi_decode_bytes_best(mother, n_bits)
+    prbs_by = jnp.asarray(pack_bits(prbs_bits(n_bits)))
+    return by ^ prbs_by
+
+
+def _decode_descramble_t(punctured, profile, n_bits: int):
+    """Transposed-layout decode chain: depuncture_t emits the Viterbi
+    kernel's native (T2p, 8, B) soft layout straight from the one-hot
+    matmul, deleting the (B, T, 4) -> (T2, 8, B) HBM relayout and the
+    flush pad from the hot path (~2 ms at production batch on v5e); then
+    decode to packed bytes + byte-level descramble. Bit-identical to
+    _decode_descramble(depuncture(...)) for terminated codewords (all DAB
+    codewords are)."""
+    by = viterbi_decode_bytes_best_t(depuncture_t(punctured, profile),
+                                     n_bits)
     prbs_by = jnp.asarray(pack_bits(prbs_bits(n_bits)))
     return by ^ prbs_by
 
@@ -134,7 +149,6 @@ class ReceiveStep:
             -1, dab.nb_fic_bits_per_group)
         fic_nbits = fic_profile.data_bits
         fic_t = fic_nbits + 6
-        fic_mother = depuncture(fic_groups, fic_profile).reshape(-1, fic_t, 4)
 
         def pack_fic(fic_bits):
             fic_bytes = _descramble_pack(fic_bits, fic_nbits)
@@ -188,42 +202,51 @@ class ReceiveStep:
             body = logical[:, : slice_bits - padding_bits] \
                 if padding_bits else logical
             n_bits = profile.data_bits
+            if (profile, slice_bits, padding_bits) != host_key:
+                # production path: transposed depuncture -> Pallas decode
+                # (no (B,T,4)->(T2,8,B) relayout, no flush pad)
+                by = _decode_descramble_t(body, profile, n_bits)
+                by = by.reshape((len(cfgs), e, c, -1) if e > 1
+                                else (len(cfgs), c, -1))
+                for i, cfg in enumerate(cfgs):
+                    subch_out[cfg.subch_id] = by[i]
+                continue
+            # merge_fic path: FIC codewords chained into this group's call
             mother = depuncture(body, profile).reshape(-1, n_bits + 6, 4)
             n_msc = mother.shape[0]
-            if (profile, slice_bits, padding_bits) == host_key:
-                n_rows = fic_mother.shape[0] // g
-                fm = fic_mother.reshape(n_rows, g, fic_t, 4)
-                parts = []
-                sep = jnp.full((n_rows, 6, 4), flush_a, mother.dtype)
-                for i in range(g):
-                    parts.append(fm[:, i])
-                    if i < g - 1:
-                        parts.append(sep)
-                pad = (n_bits + 6) - fic_merged_t
-                if pad:
-                    parts.append(jnp.full((n_rows, pad, 4), flush_a,
-                                          mother.dtype))
-                merged = jnp.concatenate(parts, axis=1)
-                mother = jnp.concatenate([mother, merged], axis=0)
-            if (profile, slice_bits, padding_bits) == host_key:
-                # merged rows are not byte-aligned (780-step stride): decode
-                # to bits and pack explicitly for this group only
-                bits = viterbi_decode(mother, n_bits)
-                fic_rows = bits[n_msc:]
-                fic_bits = jnp.concatenate(
-                    [fic_rows[:, i * (fic_t + 6): i * (fic_t + 6) + fic_nbits]
-                     for i in range(g)], axis=0
-                ).reshape(g, -1, fic_nbits).swapaxes(0, 1).reshape(-1, fic_nbits)
-                by = _descramble_pack(bits[:n_msc], n_bits)
-            else:
-                by = _decode_descramble(mother, n_bits)
+            fic_mother = depuncture(fic_groups, fic_profile) \
+                .reshape(-1, fic_t, 4)
+            n_rows = fic_mother.shape[0] // g
+            fm = fic_mother.reshape(n_rows, g, fic_t, 4)
+            parts = []
+            sep = jnp.full((n_rows, 6, 4), flush_a, mother.dtype)
+            for i in range(g):
+                parts.append(fm[:, i])
+                if i < g - 1:
+                    parts.append(sep)
+            pad = (n_bits + 6) - fic_merged_t
+            if pad:
+                parts.append(jnp.full((n_rows, pad, 4), flush_a,
+                                      mother.dtype))
+            merged = jnp.concatenate(parts, axis=1)
+            mother = jnp.concatenate([mother, merged], axis=0)
+            # merged rows are not byte-aligned (780-step stride): decode
+            # to bits and pack explicitly for this group only
+            bits = viterbi_decode(mother, n_bits)
+            fic_rows = bits[n_msc:]
+            fic_bits = jnp.concatenate(
+                [fic_rows[:, i * (fic_t + 6): i * (fic_t + 6) + fic_nbits]
+                 for i in range(g)], axis=0
+            ).reshape(g, -1, fic_nbits).swapaxes(0, 1).reshape(-1, fic_nbits)
+            by = _descramble_pack(bits[:n_msc], n_bits)
             by = by.reshape((len(cfgs), e, c, -1) if e > 1
                             else (len(cfgs), c, -1))
             for i, cfg in enumerate(cfgs):
                 subch_out[cfg.subch_id] = by[i]
 
-        if fic_bits is None:  # FIC not merged: standalone decode to bytes
-            fic_bytes = _decode_descramble(fic_mother, fic_nbits)
+        if fic_bits is None:  # FIC not merged: standalone transposed decode
+            fic_bytes = _decode_descramble_t(fic_groups, fic_profile,
+                                             fic_nbits)
             fic_bytes = fic_bytes.reshape(e, f * g, -1) if e > 1 else fic_bytes
         else:
             fic_bytes = pack_fic(fic_bits)

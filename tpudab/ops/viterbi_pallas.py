@@ -202,11 +202,15 @@ def _fwd_decisions(mother_soft, chunk: int, b_tile: int | None,
     n_b = b // b_tile
 
     signs_np, _ = _radix_tables(_K)           # (8, 256)
-    signs = jnp.asarray(signs_np.T)           # (256, 8)
     # (B, T, 4) -> (T2, 8, B): lane dim = batch, one tile-aligned sublane
-    # slice per super-step. The kernel computes in f32; bf16 inputs (the
-    # production soft-bit dtype) are upcast here, fused into the relayout.
-    soft_t = jnp.moveaxis(soft.reshape(b, t2, 4 * _K), 0, 2).astype(jnp.float32)
+    # slice per super-step. bf16 soft (the production dtype) stays bf16
+    # through this relayout — the (B <-> T2*8) transpose is a full HBM
+    # pass, so keeping it 16-bit halves its traffic; the in-kernel branch-
+    # metric matmul takes bf16 operands natively (f32 accumulate), and the
+    # ACS path metrics remain f32. Other dtypes upcast to f32 here.
+    sdt = jnp.bfloat16 if soft.dtype == jnp.bfloat16 else jnp.float32
+    signs = jnp.asarray(signs_np.T, sdt)      # (256, 8), exact in bf16
+    soft_t = jnp.moveaxis(soft.reshape(b, t2, 4 * _K), 0, 2).astype(sdt)
 
     decs = pl.pallas_call(
         _fwd_kernel,
@@ -301,6 +305,87 @@ def viterbi_decode_pallas(mother_soft, n_data_bits: int, chunk: int = 32,
     bits = jnp.stack([(packed >> 1) & 1, packed & 1], axis=-1)
     bits = bits.reshape(b, t2 * _K)
     return bits[:b0, :n_data_bits]
+
+
+@functools.partial(jax.jit, static_argnames=("n_data_bits", "chunk", "b_tile",
+                                             "interpret"))
+def viterbi_decode_pallas_bytes_t(soft_t, n_data_bits: int, chunk: int = 16,
+                                  b_tile: int | None = None,
+                                  interpret: bool = False):
+    """Viterbi decode from PRE-TRANSPOSED soft input (T2p, 8, B) — the
+    layout tpudab.fec.depuncture.depuncture_t emits — to MSB-first packed
+    bytes (B, n_data_bits // 8).
+
+    Skips the (B, T, 4) -> (T2, 8, B) relayout and the flush pad entirely:
+    the input's zero-padded tail is traceback-neutral for terminated
+    codewords (see depuncture_t). chunk=16 always divides T2p = 16 *
+    n_blocks. Production path for the receive step's MSC + FIC decode.
+    """
+    assert n_data_bits % 8 == 0 and chunk % 4 == 0
+    t2, eight, b0 = soft_t.shape
+    assert eight == 4 * _K and t2 % chunk == 0
+    if b_tile is None:
+        b_tile = min(1024, 128 * ((b0 + 127) // 128))
+    soft_t = _pad_to(soft_t, b_tile, axis=2, value=0.0)
+    b = soft_t.shape[2]
+    n_b = b // b_tile
+    n_chunks = t2 // chunk
+
+    signs_np, _ = _radix_tables(_K)
+    sdt = jnp.bfloat16 if soft_t.dtype == jnp.bfloat16 else jnp.float32
+    signs = jnp.asarray(signs_np.T, sdt)
+    soft_t = soft_t.astype(sdt)
+
+    decs = pl.pallas_call(
+        _fwd_kernel,
+        grid=(n_b, n_chunks),
+        in_specs=[
+            pl.BlockSpec((256, 4 * _K), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 4 * _K, b_tile), lambda j, i: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((chunk // 4, N_STATES, b_tile),
+                               lambda j, i: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t2 // 4, N_STATES, b), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((N_STATES, b_tile), jnp.float32)],
+        interpret=interpret,
+    )(signs, soft_t)
+
+    packed = pl.pallas_call(
+        _tb_kernel_packed,
+        grid=(n_b, n_chunks),
+        in_specs=[
+            pl.BlockSpec((chunk // 4, N_STATES, b_tile),
+                         lambda j, i: (pl.num_programs(1) - 1 - i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((chunk // 4, 1, b_tile),
+                               lambda j, i: (pl.num_programs(1) - 1 - i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t2 // 4, 1, b), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((1, b_tile), jnp.int32)],
+        interpret=interpret,
+    )(decs)
+
+    by = jnp.moveaxis(packed[:, 0, :], 0, 1)              # (B, T2p//4)
+    return by[:b0, :n_data_bits // 8]
+
+
+def viterbi_decode_bytes_best_t(soft_t, n_data_bits: int):
+    """Backend-dispatching transposed-input decode: Pallas on TPU; on CPU
+    the input is relaid to (B, T, 4) and decoded by the XLA scan (bit-
+    identical for terminated codewords)."""
+    if _use_pallas():
+        return viterbi_decode_pallas_bytes_t(soft_t, n_data_bits)
+    from tpudab.ops.viterbi import viterbi_decode
+    from tpudab.utils.bits import jnp_pack_bits
+    t2, _, b = soft_t.shape
+    soft = jnp.moveaxis(soft_t, 2, 0).reshape(b, t2 * _K, 4)
+    soft = soft[:, : n_data_bits + 6]
+    return jnp_pack_bits(viterbi_decode(soft.astype(jnp.float32),
+                                        n_data_bits))
 
 
 def _platform() -> str:
