@@ -72,9 +72,12 @@ def main():
     # real synthesized signal, same frames for every ensemble slot
     frames, payload = _synth_bench_frames(subch, n_frames)
     tiled = step.tile_frames(frames.reshape(n_frames, -1))
-    # bf16 IQ on the hot path: SDR front-ends deliver 8-12 bit ADC samples,
-    # exactly representable in bf16 — halves H2D transfer and the carve
-    # kernel's DMA-in (the step's dominant memory stream).
+    # bf16 IQ on the hot path: SDR front-ends deliver 8-12 bit ADC samples;
+    # bf16's 8-bit significand represents 8-bit codes exactly (12-bit codes
+    # round by ~2^-9 relative, ~30 dB below channel noise) — halves H2D
+    # transfer and the carve kernel's DMA-in (the step's dominant memory
+    # stream). NOTE: r3 switched ingest from f32 to bf16; speedups vs
+    # earlier f32-ingest rounds include that dtype change.
     import ml_dtypes
     re = np.ascontiguousarray(tiled.real, dtype=ml_dtypes.bfloat16)
     im = np.ascontiguousarray(tiled.imag, dtype=ml_dtypes.bfloat16)

@@ -33,31 +33,10 @@ from tpudab.ops.viterbi_pallas import (_fwd_kernel, _tb_kernel_packed,
 _K = 2
 
 
-def depuncture_t(soft_bits, profile):
-    """Punctured soft (B, S) -> mother-TRANSPOSED (T2p, 8, B) with zeros at
-    punctured slots and at the trailing block pad; T2p = n_blocks*16."""
-    soft_bits = jnp.asarray(soft_bits)
-    b = soft_bits.shape[0]
-    n_mother, runs = _block_runs(profile)
-    acc_dt = soft_bits.dtype if soft_bits.dtype == jnp.bfloat16 \
-        else jnp.float32
-    outs = []
-    off = 0
-    for n_blocks, kpb, one_hot in runs:
-        seg = jax.lax.slice_in_dim(soft_bits, off, off + n_blocks * kpb,
-                                   axis=-1).reshape(b, n_blocks, kpb)
-        lhs = jnp.asarray(np.broadcast_to(one_hot.T[None],
-                                          (n_blocks,) + one_hot.T.shape),
-                          dtype=soft_bits.dtype)  # (n_blocks, 128, kpb)
-        out = jax.lax.dot_general(
-            lhs, seg,
-            dimension_numbers=(((2,), (2,)), ((0,), (1,))),
-            preferred_element_type=acc_dt)  # (n_blocks, 128, B)
-        outs.append(out.astype(soft_bits.dtype))
-        off += n_blocks * kpb
-    m = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
-    nb = m.shape[0]
-    return m.reshape(nb * 128 // (4 * _K), 4 * _K, b)
+# depuncture_t: use the library implementation (this tool originally
+# carried its own prototype copy; the production one in
+# tpudab.fec.depuncture additionally emits the +1.0 flush-bias tail)
+from tpudab.fec.depuncture import depuncture_t
 
 
 def fwd_t(soft_t, b_tile=1024, chunk=16, interpret=False):

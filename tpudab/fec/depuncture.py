@@ -102,15 +102,18 @@ def depuncture_t(soft_bits, profile: PunctureProfile):
     (batch on lanes, one tile-aligned sublane slice per super-step), so
     emitting it straight from the one-hot matmul — via a batched
     dot_general whose output is (n_blocks, 128, B) — deletes the full
-    (B, T, 4) -> (T2, 8, B) HBM transpose pass AND the explicit 1.0-flush
-    pad from the decode chain (~2 ms at production batch on v5e).
+    (B, T, 4) -> (T2, 8, B) HBM transpose pass from the decode chain
+    (~2 ms at production batch on v5e).
 
-    The zero-pad region is traceback-neutral FOR TERMINATED CODEWORDS
-    (every DAB codeword carries 6 tail bits): after the real tail, the
-    survivor at state 0 dominates, and zero branch metrics tie every
-    transition — ties resolve to j=0, which keeps the state-0 path, so
-    the decode is bit-identical to the flush-padded form
-    (tools/exp_depunct_t.py validates this against the production path).
+    The tail pad region (mother positions >= n_mother, i.e. past the six
+    real tail bits) is filled with the +1.0 virtual-flush pattern (see
+    ops.viterbi.pad_mother_soft): the one-hot matmul emits zeros there
+    (all-zero columns) and a precomputed constant bias is added after.
+    This keeps the ML path pinned to state 0 through the pad, so the
+    decode is bit-identical to the flush-padded (B, T, 4) production
+    path — a plain ZERO pad would instead let traceback start from the
+    argmax end state, which under noise can differ from the terminated
+    state-0 path in the trailing bits (ADVICE r3 item 1).
     """
     soft_bits = jnp.asarray(soft_bits)
     b = soft_bits.shape[0]
@@ -133,7 +136,24 @@ def depuncture_t(soft_bits, profile: PunctureProfile):
         off += n_blocks * kpb
     m = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
     nb = m.shape[0]
-    return m.reshape(nb * 128 // 8, 8, b)
+    m = m.reshape(nb * 128 // 8, 8, b)
+    bias = _flush_bias(profile)
+    if bias is not None:
+        m = m + jnp.asarray(bias, dtype=m.dtype)
+    return m
+
+
+@functools.lru_cache(maxsize=None)
+def _flush_bias(profile: PunctureProfile):
+    """(T2p, 8, 1) additive flush bias for depuncture_t: +1.0 at every
+    mother position past the real tail (>= n_mother), 0.0 elsewhere.
+    None when n_mother is already 128-aligned (no pad)."""
+    n_mother, runs = _block_runs(profile)
+    total = sum(nb for nb, _, _ in runs) * 128
+    if total == n_mother:
+        return None
+    flat = (np.arange(total) >= n_mother).astype(np.float32)
+    return flat.reshape(total // 8, 8, 1)
 
 
 def depuncture_np(soft_bits: np.ndarray, profile: PunctureProfile) -> np.ndarray:

@@ -78,7 +78,8 @@ def _deinterleave_xla(buf, c: int):
 
 
 def _use_deint_kernel() -> bool:
-    """Pallas kernel on real TPU backends; XLA mask-select elsewhere.
+    """Pallas kernel on TPU backends only (uses pltpu memory spaces, does
+    not lower on GPU); XLA mask-select elsewhere.
     Override with TPUDAB_DEINT=pallas|xla."""
     import os
     import jax
@@ -88,7 +89,7 @@ def _use_deint_kernel() -> bool:
     if force == "xla":
         return False
     try:
-        return jax.devices()[0].platform.lower() not in ("cpu", "")
+        return jax.devices()[0].platform.lower() == "tpu"
     except Exception:
         return False
 
@@ -156,7 +157,13 @@ def deinterleave_batch(buf, c: int):
     """
     s = buf.shape[-1]
     assert s % TIME_INTERLEAVE_DEPTH == 0
-    # lane-aligned S only (odd-CU subchannel slices fall back to XLA)
-    if _use_deint_kernel() and buf.ndim in (2, 3) and s % 128 == 0:
+    # lane-aligned S only (odd-CU subchannel slices fall back to XLA);
+    # the kernel stages the whole (c+15, S) input block plus the (c, S)
+    # output in VMEM per grid step — guard against blocks that exceed the
+    # ~16 MB VMEM scope (very wide subchannel x many frames/step) instead
+    # of failing at compile time (ADVICE r3 item 5)
+    block_bytes = (2 * c + TIME_INTERLEAVE_DEPTH - 1) * s * buf.dtype.itemsize
+    if (_use_deint_kernel() and buf.ndim in (2, 3) and s % 128 == 0
+            and block_bytes <= 12 * 1024 * 1024):
         return deinterleave_pallas(buf, c)
     return _deinterleave_xla(buf, c)

@@ -316,10 +316,11 @@ def viterbi_decode_pallas_bytes_t(soft_t, n_data_bits: int, chunk: int = 16,
     layout tpudab.fec.depuncture.depuncture_t emits — to MSB-first packed
     bytes (B, n_data_bits // 8).
 
-    Skips the (B, T, 4) -> (T2, 8, B) relayout and the flush pad entirely:
-    the input's zero-padded tail is traceback-neutral for terminated
-    codewords (see depuncture_t). chunk=16 always divides T2p = 16 *
-    n_blocks. Production path for the receive step's MSC + FIC decode.
+    Skips the (B, T, 4) -> (T2, 8, B) relayout entirely; depuncture_t
+    fills the tail pad with the +1.0 virtual-flush pattern so the decode
+    is bit-identical to the flush-padded (B, T, 4) path. chunk=16 always
+    divides T2p = 16 * n_blocks. Production path for the receive step's
+    MSC + FIC decode.
     """
     assert n_data_bits % 8 == 0 and chunk % 4 == 0
     t2, eight, b0 = soft_t.shape
@@ -397,15 +398,16 @@ def _platform() -> str:
 
 @functools.lru_cache(maxsize=1)
 def _use_pallas() -> bool:
-    """Pallas kernel on real TPU backends; XLA scan decoder elsewhere
-    (CPU tests / virtual meshes). Override with TPUDAB_VITERBI=pallas|xla."""
+    """Pallas kernel on TPU backends only (the kernels use pltpu memory
+    spaces and will not lower on GPU); XLA scan decoder elsewhere (CPU
+    tests / virtual meshes). Override with TPUDAB_VITERBI=pallas|xla."""
     import os
     force = os.environ.get("TPUDAB_VITERBI", "").lower()
     if force == "pallas":
         return True
     if force == "xla":
         return False
-    return _platform() not in ("cpu", "")
+    return _platform() == "tpu"
 
 
 def viterbi_decode_best(mother_soft, n_data_bits: int):
