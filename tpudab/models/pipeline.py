@@ -20,6 +20,7 @@ from tpudab.ofdm.sync import SyncConfig
 from tpudab.ofdm.sync_device import acquire_host
 from tpudab.ofdm.demod import demod_frames_split
 from tpudab.models.receiver import Receiver, AudioChannelOutput
+from tpudab.models.step_driver import StepDriver
 
 
 @dataclasses.dataclass
@@ -53,49 +54,35 @@ class OfflinePipeline:
         self.receiver = receiver or Receiver(mode)
         self.use_device_step = use_device_step
         self.stats = PipelineStats()
-        self._step = None
-        self._step_carry = None
-        self._step_first_logical: Dict[int, int] = {}
+        self._driver = StepDriver(mode, sync_cfg.window_offset)
         self._resumed = False  # set by models.checkpoint.pipeline_restore
 
-    def _maybe_build_step(self) -> None:
-        """(Re)build the jitted step from discovered decoders.
+    # checkpoint.py and external callers address the step state by these
+    # names; the state itself lives in the shared StepDriver (also used by
+    # host.streaming.StreamingRadio)
+    @property
+    def _step(self):
+        return self._driver.step
 
-        Initial build seeds the carry from each python decoder's
-        deinterleaver history (seamless handoff). If the FIC later discovers
-        additional subchannels, the step is rebuilt: existing carries are
-        kept, new subchannels start with zero history (their first 15
-        logical frames are warm-up, as at stream start).
-        """
-        import jax.numpy as jnp
-        from tpudab.models.step import ReceiveStep
+    @_step.setter
+    def _step(self, v):
+        self._driver.step = v
 
-        rx = self.receiver
-        if not rx.subch_decoders:
-            return
-        current = set(rx.subch_decoders.keys())
-        if self._step is not None and \
-                current == {c.subch_id for c in self._step.subchannels}:
-            return
-        configs = tuple(d.config for d in rx.subch_decoders.values())
-        old_carry = self._step_carry or {}
-        new_step = ReceiveStep(mode=self.mode, subchannels=configs,
-                               window_offset=self.sync_cfg.window_offset)
-        carry = {}
-        n_cifs_seen = self.stats.total_frames * rx.dab.nb_cifs
-        for subch_id, dec in rx.subch_decoders.items():
-            key = f"deint_{subch_id}"
-            if key in old_carry:
-                carry[key] = old_carry[key]
-            elif self._step is None:
-                carry[key] = jnp.asarray(dec._history)
-                self._step_first_logical[subch_id] = dec._n_seen - 15
-            else:
-                carry[key] = jnp.zeros(
-                    (15, dec.config.slice_bits), jnp.float32)
-                self._step_first_logical[subch_id] = n_cifs_seen - 15
-        self._step = new_step
-        self._step_carry = carry
+    @property
+    def _step_carry(self):
+        return self._driver.carry
+
+    @_step_carry.setter
+    def _step_carry(self, v):
+        self._driver.carry = v
+
+    @property
+    def _step_first_logical(self) -> Dict[int, int]:
+        return self._driver.first_logical
+
+    @_step_first_logical.setter
+    def _step_first_logical(self, v):
+        self._driver.first_logical = dict(v)
 
     def run(self, iq: np.ndarray, collect=None):
         """Decode the whole buffer; returns accumulated channel outputs.
@@ -134,17 +121,11 @@ class OfflinePipeline:
             re = np.ascontiguousarray(frames.real, dtype=np.float32).reshape(tiled)
             im = np.ascontiguousarray(frames.imag, dtype=np.float32).reshape(tiled)
             if self.use_device_step:
-                self._maybe_build_step()
+                self._driver.maybe_build(self.receiver,
+                                         self.stats.total_frames)
             if self._step is not None:
-                self._step_carry, step_out = self._step(
-                    self._step_carry, re, im, np.float32(self.stats.net_freq_hz))
-                subch_bytes = {k: np.asarray(v)
-                               for k, v in step_out["subch"].items()}
-                outputs = self.receiver.process_step_outputs(
-                    np.asarray(step_out["fic_bytes"]), subch_bytes,
-                    dict(self._step_first_logical))
-                for k in self._step_first_logical:
-                    self._step_first_logical[k] += nf * self.receiver.dab.nb_cifs
+                outputs, _ = self._driver.process(
+                    self.receiver, re, im, self.stats.net_freq_hz)
             else:
                 soft, _ = demod_frames_split(
                     re, im, self.stats.net_freq_hz, self.mode,

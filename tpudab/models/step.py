@@ -252,7 +252,12 @@ class ReceiveStep:
             fic_bytes = pack_fic(fic_bits)
 
         outputs = {"fic_bytes": fic_bytes, "subch": subch_out,
-                   "mean_power": stats["mean_power"]}
+                   "mean_power": stats["mean_power"],
+                   # decimated DQPSK constellation tap (dashboard SNR /
+                   # scatter; reference GetFrameDataVec analog) — tiny,
+                   # rides along with the batch fetch
+                   "const_re": stats["const_re"],
+                   "const_im": stats["const_im"]}
         return new_carry, outputs
 
     def _ensure_tiled(self, x):

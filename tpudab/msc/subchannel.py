@@ -26,7 +26,9 @@ from tpudab.database.entities import Subchannel
 from tpudab.fec.depuncture import depuncture
 from tpudab.fec.prbs import descramble_bits
 from tpudab.msc.interleave import deinterleave_batch, TIME_INTERLEAVE_DEPTH
-from tpudab.ops.viterbi import viterbi_decode
+# dispatching decode: Pallas ACS kernel on TPU, XLA scan on CPU (bit-
+# identical; VERDICT r3 item #1 — the host path must not pin the scan)
+from tpudab.ops.viterbi_pallas import viterbi_decode_best as viterbi_decode
 from tpudab.utils.bits import pack_bits
 
 
