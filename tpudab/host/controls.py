@@ -11,6 +11,7 @@ single-key commands on the streaming CLI:
   +/-      global gain           m  mute toggle
   c        toggle coarse-CFO     [/]  desync threshold -/+
   f/F      fine-freq beta -/+    q  quit
+  </>      Band III channel down/up (retune, live tuner only)
 
 Live OFDM tunables (c, [, ], f, F) write the running StreamingRadio's
 mirrors of OFDM_Demod::GetConfig() — reference parity with the ImGui
@@ -139,6 +140,17 @@ class KeyController:
             self.radio.fine_freq_beta = min(self.radio.fine_freq_beta + 0.05,
                                             0.99)
             self._autosave(fine_freq_beta=self.radio.fine_freq_beta)
+        elif key in "<>" and self.radio is not None \
+                and getattr(self.radio, "tuner", None) is not None:
+            # click-to-tune analog (render_radio_block.cpp:490-752):
+            # step through the Band III channel list and retune
+            from tpudab.constants.channels import channel_labels
+            labels = channel_labels()
+            cur = self.radio.channel
+            i = labels.index(cur) if cur in labels else 0
+            i = (i + (1 if key == ">" else -1)) % len(labels)
+            self.radio.retune(labels[i])
+            self._autosave(channel=labels[i])
         elif sid is not None:
             ch = r.channels[sid]
             if key == "p":
@@ -179,5 +191,7 @@ class KeyController:
             tun = (f" | desync={self.radio.desync_threshold:.2f}"
                    f" beta={self.radio.fine_freq_beta:.2f}"
                    f" coarse={'on' if self.radio.is_coarse_freq_correction else 'OFF'}")
+            if getattr(self.radio, "tuner", None) is not None:
+                tun += f" ch={self.radio.channel or '?'} </>"
         return (" keys: TAB/sel p/play d/dec x/data a/all s/stop m/mute +/- "
                 "c/[/]/f/F q | " + " ".join(parts) + f" {gain}{mute}{tun}")

@@ -50,6 +50,17 @@ def get_lib() -> ctypes.CDLL:
             lib.dab_iq_reader_done.restype = ctypes.c_int
             lib.dab_iq_reader_done.argtypes = [c]
             lib.dab_iq_reader_join.argtypes = [c]
+            lib.dab_tcp_source_start.restype = c
+            lib.dab_tcp_source_start.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, c, ctypes.c_uint32,
+                ctypes.c_uint32]
+            lib.dab_tcp_set_freq.restype = ctypes.c_int
+            lib.dab_tcp_set_freq.argtypes = [c, ctypes.c_uint32]
+            lib.dab_tcp_source_done.restype = ctypes.c_int
+            lib.dab_tcp_source_done.argtypes = [c]
+            lib.dab_tcp_tuner_type.restype = ctypes.c_uint32
+            lib.dab_tcp_tuner_type.argtypes = [c]
+            lib.dab_tcp_source_stop.argtypes = [c]
             lib.dab_decoder_open.restype = c
             lib.dab_decoder_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                                              ctypes.c_int]
