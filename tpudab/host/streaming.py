@@ -188,7 +188,9 @@ class StreamingRadio:
         buf = self._fill(3 * p.nb_frame_length)
         if buf.shape[0] < 2 * p.nb_frame_length:
             return False
-        res = acquire_host(buf, self.mode, self.sync_cfg.max_coarse_bins)
+        res = acquire_host(buf, self.mode, self.sync_cfg.max_coarse_bins,
+                           self.sync_cfg.impulse_peak_threshold_db,
+                           self.sync_cfg.impulse_peak_distance_probability)
         self.stats.net_freq_hz = res["net_freq_hz"]
         self.stats.coarse_freq_hz = res["coarse_hz"]
         self.stats.fine_freq_hz = res["fine_hz"]
@@ -213,7 +215,9 @@ class StreamingRadio:
         peak, q = fine_time_sync_device(
             np.ascontiguousarray(seg.real, np.float32)[None],
             np.ascontiguousarray(seg.imag, np.float32)[None],
-            np.float32(self.stats.net_freq_hz), self.mode, search)
+            np.float32(self.stats.net_freq_hz), self.mode, search,
+            self.sync_cfg.impulse_peak_threshold_db,
+            self.sync_cfg.impulse_peak_distance_probability)
         off = int(np.asarray(peak)[0]) - search
         # clamp to half the search window: tracks sample-clock drift up to
         # ~|32| samples/batch (~200 ppm at the default 4-frame batch) while

@@ -101,8 +101,11 @@ class OfflinePipeline:
         else:
             if n < 2 * p.nb_frame_length:
                 raise ValueError("need at least 2 frames of IQ for acquisition")
-            res = acquire_host(iq[: 4 * p.nb_frame_length], self.mode,
-                               self.sync_cfg.max_coarse_bins)
+            res = acquire_host(
+                iq[: 4 * p.nb_frame_length], self.mode,
+                self.sync_cfg.max_coarse_bins,
+                self.sync_cfg.impulse_peak_threshold_db,
+                self.sync_cfg.impulse_peak_distance_probability)
             self.stats.net_freq_hz = res["net_freq_hz"]
             self.stats.frame_start = res["frame_start"]
             start = res["frame_start"]
@@ -141,8 +144,11 @@ class OfflinePipeline:
             if errs == batch_fibs and pos + 2 * p.nb_frame_length <= n:
                 self.stats.total_frames_desync += nf
                 self.stats.reacquisitions += 1
-                res = acquire_host(iq[pos : pos + 4 * p.nb_frame_length],
-                                   self.mode, self.sync_cfg.max_coarse_bins)
+                res = acquire_host(
+                    iq[pos : pos + 4 * p.nb_frame_length], self.mode,
+                    self.sync_cfg.max_coarse_bins,
+                    self.sync_cfg.impulse_peak_threshold_db,
+                    self.sync_cfg.impulse_peak_distance_probability)
                 pos += res["frame_start"]
                 self.stats.net_freq_hz = res["net_freq_hz"]
 

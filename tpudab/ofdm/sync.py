@@ -41,6 +41,14 @@ class SyncConfig:
     fine_freq_beta: float = 0.9         # EMA for streaming fine-freq updates
     coarse_freq_beta: float = 0.9       # EMA for streaming coarse updates
     window_offset: int = 12             # FFT window advance into CP
+    # multipath first-path detection in the PRS matched filter (reference
+    # impulse_peak_threshold_db / impulse_peak_distance_probability,
+    # render_radio_block.cpp:224-225): pick the EARLIEST correlation peak
+    # within threshold_db of the strongest, up to one guard interval ahead,
+    # with a distance prior p^(d/CP) discounting far-ahead candidates
+    # (p = 1 or threshold = 0 reduces to plain argmax).
+    impulse_peak_threshold_db: float = 15.0
+    impulse_peak_distance_probability: float = 0.15
 
 
 def carrier_spacing_hz(mode: int) -> float:
