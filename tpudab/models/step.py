@@ -24,39 +24,23 @@ from tpudab.constants.ofdm_params import get_ofdm_params
 from tpudab.constants.dab_params import get_dab_params, CIF_BITS, CU_BITS
 from tpudab.constants.puncture import FIC_PROFILE, FIC_PROFILE_MODE3
 from tpudab.fec.prbs import prbs_bits
-from tpudab.fec.depuncture import depuncture, depuncture_t
+from tpudab.fec.depuncture import depuncture_t
 from tpudab.msc.subchannel import SubchannelConfig
 from tpudab.msc.interleave import deinterleave_batch, TIME_INTERLEAVE_DEPTH
 from tpudab.ofdm.demod import demod_frames_split
-from tpudab.ops.viterbi_pallas import (viterbi_decode_best as viterbi_decode,
-                                       viterbi_decode_bytes_best,
-                                       viterbi_decode_bytes_best_t)
-from tpudab.utils.bits import jnp_pack_bits, pack_bits
-
-
-def _descramble_pack(bits, n_bits: int):
-    """Device-side energy-dispersal descramble + MSB-first byte pack."""
-    prbs = jnp.asarray(prbs_bits(n_bits))
-    return jnp_pack_bits(bits ^ prbs)
-
-
-def _decode_descramble(mother, n_bits: int):
-    """Viterbi decode straight to packed bytes (in-kernel pack on TPU) and
-    energy-dispersal descramble as a byte-level XOR — avoids materializing
-    the (B, n_bits) bit plane (a 1.4 ms/step padded-layout pack on v5e)."""
-    by = viterbi_decode_bytes_best(mother, n_bits)
-    prbs_by = jnp.asarray(pack_bits(prbs_bits(n_bits)))
-    return by ^ prbs_by
+from tpudab.ops.viterbi_pallas import viterbi_decode_bytes_best_t
+from tpudab.utils.bits import pack_bits
 
 
 def _decode_descramble_t(punctured, profile, n_bits: int):
     """Transposed-layout decode chain: depuncture_t emits the Viterbi
     kernel's native (T2p, 8, B) soft layout straight from the one-hot
-    matmul, deleting the (B, T, 4) -> (T2, 8, B) HBM relayout and the
-    flush pad from the hot path (~2 ms at production batch on v5e); then
-    decode to packed bytes + byte-level descramble. Bit-identical to
-    _decode_descramble(depuncture(...)) for terminated codewords (all DAB
-    codewords are)."""
+    matmul (flush-bias tail, so termination stays exact), deleting the
+    (B, T, 4) -> (T2, 8, B) HBM relayout from the hot path (~2 ms at
+    production batch on v5e); then decode to packed bytes (in-kernel pack
+    on TPU) + energy-dispersal descramble as a byte-level XOR — avoids
+    materializing the (B, n_bits) bit plane (a 1.4 ms/step padded-layout
+    pack on v5e)."""
     by = viterbi_decode_bytes_best_t(depuncture_t(punctured, profile),
                                      n_bits)
     prbs_by = jnp.asarray(pack_bits(prbs_bits(n_bits)))
@@ -83,14 +67,11 @@ class ReceiveStep:
     # decisions are scale-invariant and the ~2^-9 rounding sits ~30 dB
     # below channel noise at operating SNR. Set "float32" for bit-exact
     # parity with the per-stage oracles.
+    # (A merge-FIC-into-widest-MSC-call variant using the separator-flush
+    # trick was measured SLOWER on v5e — ~4 ms of padded-layout copies vs
+    # ~2.9 ms standalone — and was removed in r4; the trick itself stays
+    # validated in tests/test_viterbi.py::test_merged_codewords_separator_flush.)
     soft_dtype: str = "bfloat16"
-    # Merge the FIC codewords into the widest MSC Viterbi call (separator
-    # flush trick) instead of a standalone small-batch decode. Measured
-    # SLOWER on v5e (building/extracting the merged rows costs ~4 ms of
-    # padded-layout copies on (..., 4)-minor arrays vs ~2.9 ms for the
-    # standalone FIC decode) — kept as an option for layouts with many
-    # more small codewords per step.
-    merge_fic: bool = False
 
     def __post_init__(self):
         self.params = get_ofdm_params(self.mode)
@@ -140,19 +121,14 @@ class ReceiveStep:
                                          self.mode, self.window_offset,
                                          out_dtype=self.soft_dtype)
 
-        # ---- FIC (depuncture now; Viterbi is merged into the widest MSC
-        # call below when possible — a standalone B=e*f*4 T=774 decode costs
-        # ~2.9 ms of mostly pipeline-fill on v5e, vs ~0.7 ms amortized) ----
+        # ---- FIC: standalone transposed depuncture -> Pallas decode ----
         fic_profile = FIC_PROFILE_MODE3 if self.mode == 3 else FIC_PROFILE
         g = dab.nb_fib_groups
         fic_groups = soft[:, : dab.nb_fic_bits].reshape(
             -1, dab.nb_fic_bits_per_group)
         fic_nbits = fic_profile.data_bits
-        fic_t = fic_nbits + 6
-
-        def pack_fic(fic_bits):
-            fic_bytes = _descramble_pack(fic_bits, fic_nbits)
-            return fic_bytes.reshape(e, f * g, -1) if e > 1 else fic_bytes
+        fic_bytes = _decode_descramble_t(fic_groups, fic_profile, fic_nbits)
+        fic_bytes = fic_bytes.reshape(e, f * g, -1) if e > 1 else fic_bytes
 
         # ---- MSC ----
         # Subchannels with identical coding geometry (profile + size) batch
@@ -169,23 +145,6 @@ class ReceiveStep:
             key = (cfg.profile, cfg.slice_bits, cfg.padding_bits)
             groups.setdefault(key, []).append(cfg)
 
-        # FIC merge plan: g terminated FIC codewords (768+6 trellis steps
-        # each) are chained into ONE row of the widest MSC Viterbi call,
-        # separated by 6 virtual-flush steps of large amplitude. A flush
-        # step rewards the all-zero output transition (state 0 -> 0) by
-        # +4A and every other transition strictly less, so 6 such steps
-        # force the global ML path through state 0 at each codeword
-        # boundary — making the merged decode bit-identical to independent
-        # terminated decodes (tests/test_viterbi.py::test_merged_codewords).
-        fic_merged_t = g * fic_t + (g - 1) * 6
-        host_key = None
-        if groups and self.merge_fic:
-            widest = max(groups, key=lambda k: k[0].data_bits)
-            if widest[0].data_bits + 6 >= fic_merged_t:
-                host_key = widest
-        flush_a = jnp.asarray(100.0, soft.dtype)
-
-        fic_bits = None
         for (profile, slice_bits, padding_bits), cfgs in groups.items():
             logicals = []
             for cfg in cfgs:
@@ -202,54 +161,13 @@ class ReceiveStep:
             body = logical[:, : slice_bits - padding_bits] \
                 if padding_bits else logical
             n_bits = profile.data_bits
-            if (profile, slice_bits, padding_bits) != host_key:
-                # production path: transposed depuncture -> Pallas decode
-                # (no (B,T,4)->(T2,8,B) relayout, no flush pad)
-                by = _decode_descramble_t(body, profile, n_bits)
-                by = by.reshape((len(cfgs), e, c, -1) if e > 1
-                                else (len(cfgs), c, -1))
-                for i, cfg in enumerate(cfgs):
-                    subch_out[cfg.subch_id] = by[i]
-                continue
-            # merge_fic path: FIC codewords chained into this group's call
-            mother = depuncture(body, profile).reshape(-1, n_bits + 6, 4)
-            n_msc = mother.shape[0]
-            fic_mother = depuncture(fic_groups, fic_profile) \
-                .reshape(-1, fic_t, 4)
-            n_rows = fic_mother.shape[0] // g
-            fm = fic_mother.reshape(n_rows, g, fic_t, 4)
-            parts = []
-            sep = jnp.full((n_rows, 6, 4), flush_a, mother.dtype)
-            for i in range(g):
-                parts.append(fm[:, i])
-                if i < g - 1:
-                    parts.append(sep)
-            pad = (n_bits + 6) - fic_merged_t
-            if pad:
-                parts.append(jnp.full((n_rows, pad, 4), flush_a,
-                                      mother.dtype))
-            merged = jnp.concatenate(parts, axis=1)
-            mother = jnp.concatenate([mother, merged], axis=0)
-            # merged rows are not byte-aligned (780-step stride): decode
-            # to bits and pack explicitly for this group only
-            bits = viterbi_decode(mother, n_bits)
-            fic_rows = bits[n_msc:]
-            fic_bits = jnp.concatenate(
-                [fic_rows[:, i * (fic_t + 6): i * (fic_t + 6) + fic_nbits]
-                 for i in range(g)], axis=0
-            ).reshape(g, -1, fic_nbits).swapaxes(0, 1).reshape(-1, fic_nbits)
-            by = _descramble_pack(bits[:n_msc], n_bits)
+            # transposed depuncture -> Pallas decode (no (B,T,4)->(T2,8,B)
+            # relayout; flush-bias tail keeps termination exact)
+            by = _decode_descramble_t(body, profile, n_bits)
             by = by.reshape((len(cfgs), e, c, -1) if e > 1
                             else (len(cfgs), c, -1))
             for i, cfg in enumerate(cfgs):
                 subch_out[cfg.subch_id] = by[i]
-
-        if fic_bits is None:  # FIC not merged: standalone transposed decode
-            fic_bytes = _decode_descramble_t(fic_groups, fic_profile,
-                                             fic_nbits)
-            fic_bytes = fic_bytes.reshape(e, f * g, -1) if e > 1 else fic_bytes
-        else:
-            fic_bytes = pack_fic(fic_bits)
 
         outputs = {"fic_bytes": fic_bytes, "subch": subch_out,
                    "mean_power": stats["mean_power"],
