@@ -36,8 +36,8 @@ def main():
     from tpudab.constants.dab_params import get_dab_params, CIF_BITS, CU_BITS
     from tpudab.msc.interleave import deinterleave_batch, TIME_INTERLEAVE_DEPTH
     from tpudab.ofdm.demod import demod_frames_split
-    from tpudab.fec.depuncture import depuncture
-    from tpudab.models.step import _decode_descramble
+    from tpudab.fec.depuncture import depuncture_t
+    from tpudab.models.step import _decode_descramble_t
 
     e, f = 16, 16
     step = ReceiveStep(mode=1, subchannels=_bench_subchannels(), n_ensembles=e)
@@ -76,12 +76,15 @@ def main():
         prof = subch[0].profile
         logical = jnp.concatenate([l.reshape(-1, subch[0].slice_bits)
                                    for l in outs], axis=0)
-        return depuncture(logical, prof).reshape(-1, prof.data_bits + 6, 4)
+        return depuncture_t(logical, prof)   # production transposed layout
 
     @jax.jit
     def stage_full_msc(re, im, fq, carry):
-        mother = stage_depunct(re, im, fq, carry)
-        return _decode_descramble(mother, subch[0].profile.data_bits)
+        outs = stage_deint(re, im, fq, carry)
+        prof = subch[0].profile
+        logical = jnp.concatenate([l.reshape(-1, subch[0].slice_bits)
+                                   for l in outs], axis=0)
+        return _decode_descramble_t(logical, prof, prof.data_bits)
 
     t_dm = timeit_chained("demod only", stage_demod,
                           (flat_re, flat_im, freq_rep))
