@@ -41,9 +41,23 @@ TABLE_CONFIDENCE = {
                             "28 single-transcription exact, 7 exact with an "
                             "8-bit padding assumption, 10 budget-solved "
                             "reconstructions (per-row tag: "
-                            "puncture.uep_row_confidence). Only the 10 "
-                            "solved rows risk elevated BER on real "
-                            "broadcasts"),
+                            "puncture.uep_row_confidence). The ambiguity of "
+                            "the 10 solved rows is QUANTIFIED and "
+                            "irreducible offline: exhaustive enumeration "
+                            "under the bit-budget + block-count identities "
+                            "and the PI/L structure induced from the 54 "
+                            "corroborated rows leaves 10^2-10^3 candidates "
+                            "per row (tools/uep_ambiguity.py -> "
+                            "UEP_AMBIGUITY.json); no third transcription "
+                            "lineage is reachable from this offline build "
+                            "(dablin consumes post-FEC ETI; the demodulator "
+                            "lineages share one ancestral table). Under the "
+                            "tightest zero-slack prior the shipped 224/PL3 "
+                            "and 224/PL4 rows fall just outside the induced "
+                            "PI ranges — those two are the most suspect. "
+                            "Only the 10 solved rows risk elevated BER on "
+                            "real broadcasts; an off-air capture remains "
+                            "the only way to close them"),
     "prs_h_table": (HIGH, "4x32 h table matches the public phase-reference "
                           "tables bit-for-bit"),
     "prs_mode1_blocks": (HIGH, "48-row (k',i,n) table matches the public "
