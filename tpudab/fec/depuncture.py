@@ -107,13 +107,19 @@ def depuncture_t(soft_bits, profile: PunctureProfile):
 
     The tail pad region (mother positions >= n_mother, i.e. past the six
     real tail bits) is filled with the +1.0 virtual-flush pattern (see
-    ops.viterbi.pad_mother_soft): the one-hot matmul emits zeros there
-    (all-zero columns) and a precomputed constant bias is added after.
-    This keeps the ML path pinned to state 0 through the pad, so the
-    decode is bit-identical to the flush-padded (B, T, 4) production
-    path — a plain ZERO pad would instead let traceback start from the
-    argmax end state, which under noise can differ from the terminated
-    state-0 path in the trailing bits (ADVICE r3 item 1).
+    ops.viterbi.pad_mother_soft). This keeps the ML path pinned to state 0
+    through the pad, so the decode is bit-identical to the flush-padded
+    (B, T, 4) production path — a plain ZERO pad would instead let
+    traceback start from the argmax end state, which under noise can
+    differ from the terminated state-0 path in the trailing bits
+    (ADVICE r3 item 1). The bias is folded INTO the final run's one-hot
+    matmul as an affine column (ones appended to the operand, the flush
+    pattern appended to the table) — a separate elementwise add after the
+    matmul materialized an extra full pass over the (T2p, 8, B) output
+    (~0.4 ms/step at production batch, a measured 3% headline regression).
+    Exactness is preserved: every output position still receives at most
+    ONE nonzero product (the one-hot hit or the bias, never both), so a
+    bf16 accumulator stays exact up to input rounding.
     """
     soft_bits = jnp.asarray(soft_bits)
     b = soft_bits.shape[0]
@@ -122,38 +128,30 @@ def depuncture_t(soft_bits, profile: PunctureProfile):
         else jnp.float32
     outs = []
     off = 0
+    moff = 0  # mother-position offset of the current run
     for n_blocks, kpb, one_hot in runs:
         seg = jax.lax.slice_in_dim(soft_bits, off, off + n_blocks * kpb,
                                    axis=-1).reshape(b, n_blocks, kpb)
-        lhs = jnp.asarray(np.broadcast_to(one_hot.T[None],
-                                          (n_blocks,) + one_hot.T.shape),
-                          dtype=soft_bits.dtype)  # (n_blocks, 128, kpb)
+        table = np.broadcast_to(one_hot.T[None],
+                                (n_blocks,) + one_hot.T.shape)
+        if moff + n_blocks * 128 > n_mother:
+            # run overlaps the pad tail: affine flush-bias column
+            flush = (np.arange(moff, moff + n_blocks * 128) >= n_mother
+                     ).astype(np.float32).reshape(n_blocks, 128, 1)
+            table = np.concatenate([table, flush], axis=2)
+            seg = jnp.concatenate(
+                [seg, jnp.ones((b, n_blocks, 1), seg.dtype)], axis=2)
+        lhs = jnp.asarray(table, dtype=soft_bits.dtype)
         out = jax.lax.dot_general(
             lhs, seg,
             dimension_numbers=(((2,), (2,)), ((0,), (1,))),
             preferred_element_type=acc_dt)  # (n_blocks, 128, B)
         outs.append(out.astype(soft_bits.dtype))
         off += n_blocks * kpb
+        moff += n_blocks * 128
     m = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
     nb = m.shape[0]
-    m = m.reshape(nb * 128 // 8, 8, b)
-    bias = _flush_bias(profile)
-    if bias is not None:
-        m = m + jnp.asarray(bias, dtype=m.dtype)
-    return m
-
-
-@functools.lru_cache(maxsize=None)
-def _flush_bias(profile: PunctureProfile):
-    """(T2p, 8, 1) additive flush bias for depuncture_t: +1.0 at every
-    mother position past the real tail (>= n_mother), 0.0 elsewhere.
-    None when n_mother is already 128-aligned (no pad)."""
-    n_mother, runs = _block_runs(profile)
-    total = sum(nb for nb, _, _ in runs) * 128
-    if total == n_mother:
-        return None
-    flat = (np.arange(total) >= n_mother).astype(np.float32)
-    return flat.reshape(total // 8, 8, 1)
+    return m.reshape(nb * 128 // 8, 8, b)
 
 
 def depuncture_np(soft_bits: np.ndarray, profile: PunctureProfile) -> np.ndarray:
