@@ -239,3 +239,41 @@ def test_cli_stream_tcp(tmp_path, two_channel_server):
         ctlmod.KeyController = orig
     assert rc == 0
     assert (tmp_path / "live.wav").exists()
+
+
+def test_key_controller_channel_step_keys():
+    """'<'/'>' step the Band III channel list and request a retune on the
+    radio (click-to-tune analog); no-ops without a tuner attached."""
+    from tpudab.host.controls import KeyController
+    from tpudab.constants.channels import channel_labels
+
+    class FakeRadio:
+        def __init__(self, tuner):
+            self.tuner = tuner
+            self.channel = "12C"
+            self.requested = []
+            self.desync_threshold = 0.35
+            self.fine_freq_beta = 0.9
+            self.is_coarse_freq_correction = True
+
+        def retune(self, ch):
+            self.requested.append(ch)
+            self.channel = ch
+
+    radio = FakeRadio(tuner=object())
+    ctl = KeyController(receiver=type("R", (), {"channels": {}})(),
+                        audio=None, read_key=lambda: None, radio=radio)
+    labels = channel_labels()
+    i = labels.index("12C")
+    ctl.handle(">")
+    assert radio.requested == [labels[i + 1]]
+    ctl.handle("<")
+    assert radio.requested[-1] == "12C"
+    assert "ch=12C" in ctl.status_line()
+
+    # without a tuner the keys are inert
+    radio2 = FakeRadio(tuner=None)
+    ctl2 = KeyController(receiver=type("R", (), {"channels": {}})(),
+                         audio=None, read_key=lambda: None, radio=radio2)
+    ctl2.handle(">")
+    assert radio2.requested == []
