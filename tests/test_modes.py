@@ -158,3 +158,34 @@ def test_streaming_modes(mode):
     err_rate = st["fib_crc_errors"] / max(st["fibs"], 1)
     assert err_rate < 0.1, (mode, err_rate, radio.stats)
     assert radio.receiver.db.ensemble.label == f"Mode {mode} Mux"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", [2, 4])
+def test_streaming_device_step_modes(mode):
+    """The live loop's production device path (fused ReceiveStep) per
+    non-default mode: the step must build mid-stream from FIC discovery
+    and decode CRC-clean under CFO + noise (r4: streaming device step)."""
+    from tpudab.host.streaming import StreamingRadio
+
+    dab = get_dab_params(mode)
+    n_frames = -(-24 // dab.nb_cifs)
+    frames, _ = _payload_capture(mode, n_frames, seed=60 + mode)
+    iq = apply_impairments(frames.reshape(-1),
+                           Impairments(freq_offset_hz=500.0, snr_db=22,
+                                       delay_samples=300, seed=mode))
+    pos = {"i": 0}
+
+    def source(n):
+        lo = pos["i"]
+        pos["i"] = min(lo + n, iq.shape[0])
+        return iq[lo:pos["i"]]
+
+    radio = StreamingRadio(source, mode=mode, batch_frames=4,
+                           use_device_step=True)
+    radio.run()
+    assert radio._driver.step is not None       # device path really ran
+    st = radio.receiver.stats
+    err_rate = st["fib_crc_errors"] / max(st["fibs"], 1)
+    assert err_rate < 0.1, (mode, err_rate, radio.stats)
+    assert radio.receiver.db.ensemble.label == f"Mode {mode} Mux"
