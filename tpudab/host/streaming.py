@@ -140,8 +140,13 @@ class StreamingRadio:
             self.tuner.set_freq(channel_freq_hz(channel))
         self.channel = channel
         # drain: socket/ring samples in flight belong to the old channel —
-        # without this, acquisition happily re-locks onto the old ensemble
+        # without this, acquisition happily re-locks onto the old ensemble.
+        # Cover the ring's CURRENT fill (can approach a second on a real
+        # dongle when decode runs at ~1x) plus a margin for socket buffers.
         drain = int(self.retune_drain_s * SAMPLING_RATE)
+        ring = getattr(self.tuner, "ring", None)
+        if ring is not None:
+            drain += ring.fill // 8          # bytes -> complex64 samples
         while drain > 0:
             c = self.source(min(drain, 1 << 16))
             if c is None or len(c) == 0:
