@@ -277,3 +277,49 @@ def test_key_controller_channel_step_keys():
                          audio=None, read_key=lambda: None, radio=radio2)
     ctl2.handle(">")
     assert radio2.requested == []
+
+
+@pytest.mark.slow
+def test_stream_retune_on_device_step_path(two_channel_server):
+    """Retune while the DEVICE-STEP path is active: the StepDriver is
+    discarded with the receiver state and rebuilds from the new ensemble's
+    FIC discovery (fresh jitted step + zero-history carry)."""
+    from tpudab.host.rtl_tcp import TcpSource
+    from tpudab.host.streaming import StreamingRadio
+    from tpudab.constants.channels import channel_freq_hz
+
+    s = two_channel_server
+    src = TcpSource(s.host, s.port, freq_hz=channel_freq_hz("12C"))
+    radio = StreamingRadio(src.ring.read_complex64, batch_frames=2,
+                           use_device_step=True, tuner=src, channel="12C",
+                           drift_resample=False)
+    seen = {}
+
+    def on_outputs(outputs):
+        label = radio.receiver.db.ensemble.label
+        if label:
+            seen[label] = seen.get(label, 0) + 1
+        if label == "Mux Charlie" and "retuned" not in seen \
+                and radio._driver.step is not None:
+            seen["old_step"] = radio._driver.step
+            seen["retuned"] = True
+            radio.retune("12D")
+        if seen.get("Mux Delta", 0) >= 3 and radio._driver.step is not None:
+            radio.request_stop()
+
+    t = threading.Thread(target=radio.run,
+                         kwargs=dict(max_batches=200,
+                                     on_outputs=on_outputs))
+    t.start()
+    t.join(timeout=300)
+    try:
+        assert not t.is_alive(), "stream loop hung"
+        assert seen.get("Mux Charlie", 0) >= 1, seen
+        assert seen.get("Mux Delta", 0) >= 3, seen
+        assert radio.receiver.db.ensemble.ensemble_id == 0xD12D
+        # a FRESH step was built for the new ensemble
+        assert radio._driver.step is not None
+        assert radio._driver.step is not seen["old_step"]
+    finally:
+        radio.request_stop()
+        src.close()

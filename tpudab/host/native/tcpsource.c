@@ -156,7 +156,12 @@ uint32_t dab_tcp_tuner_type(dab_tcp_source_t *s) { return s->tuner_type; }
 
 void dab_tcp_source_stop(dab_tcp_source_t *s) {
     s->stop = 1;
-    shutdown(s->fd, SHUT_RDWR); /* unblocks recv in the reader thread */
+    /* Unblock BOTH places the reader thread can sit: a recv on the socket
+     * AND a dab_ring_write on a full ring (when the consumer has stopped
+     * draining, e.g. the radio loop is tearing down). Joining with only
+     * the socket shut down deadlocks in that second case. */
+    dab_ring_close(s->ring);
+    shutdown(s->fd, SHUT_RDWR);
     pthread_join(s->thread, NULL);
     close(s->fd);
     pthread_mutex_destroy(&s->mu);
