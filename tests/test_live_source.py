@@ -323,3 +323,19 @@ def test_stream_retune_on_device_step_path(two_channel_server):
     finally:
         radio.request_stop()
         src.close()
+
+
+def test_retune_resets_stats_in_place():
+    """The dashboard holds a reference to radio.stats; _do_retune must
+    reset the SAME object, not rebind it."""
+    from tpudab.host.streaming import StreamingRadio
+
+    radio = StreamingRadio(lambda n: np.zeros(0, np.complex64),
+                           drift_resample=False)
+    held = radio.stats                  # what a Dashboard would capture
+    held.total_frames = 77
+    held.state = "READING_SYMBOLS"
+    radio._do_retune("7A")              # no tuner attached: resets only
+    assert radio.stats is held
+    assert held.total_frames == 0 and held.state == "ACQUIRING"
+    assert radio.channel == "7A"

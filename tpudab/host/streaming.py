@@ -159,7 +159,10 @@ class StreamingRadio:
         if self.audio is not None:
             self.audio.clear_sources()
         self._fib_err_ema = 0.0
-        self.stats = StreamingStats()
+        # reset IN PLACE: the dashboard/controls hold a reference to this
+        # stats object (Dashboard(radio.receiver, radio.stats, ...)) —
+        # rebinding would freeze their view at the pre-retune values
+        self.stats.__init__()
 
     # ---------------- internals ----------------
 
