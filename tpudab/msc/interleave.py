@@ -101,7 +101,14 @@ def deinterleave_pallas(buf, c: int, interpret: bool = False):
     written once) instead of the XLA form's 16x read amplification.
 
     buf: (E, c+15, S) or (c+15, S); returns (E, c, S) / (c, S). Exact
-    (pure selection — no arithmetic on the data)."""
+    (pure selection — no arithmetic on the data).
+
+    Measured-and-rejected (r4): a 4-stage barrel shifter over the binary
+    decomposition of d (4 selects instead of 16 masked adds) lowers to
+    massive Mosaic relayouts — the select's two operands are row slices at
+    MISMATCHED sublane offsets — and ran 350x slower (904 ms vs 2.55 ms
+    in-step at production batch on v5e). The masked-add form keeps every
+    operand at a fixed sublane phase."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
