@@ -49,7 +49,15 @@ class SuperFrameHeader:
 
 
 def header_size_bytes(num_aus: int) -> int:
-    bits = 24 + 8 + 12 * (num_aus - 1)
+    """TS 102 563 sec 5.2: firecode (16) + rfa/dac_rate/sbr_flag/
+    aac_channel_mode/ps_flag/mpeg_surround_config (8) + au_start (12 each,
+    num_aus-1 of them) + alignment to a byte boundary.
+
+    -> 8/5/11/6 bytes for 4/2/6/3 AUs, i.e. the first AU starts at byte
+    8/5/11/6 (the offsets every fielded DAB+ decoder hardcodes). Pinned by
+    the hand-assembled standard fixture in tests/test_standard_fixtures.py.
+    """
+    bits = 24 + 12 * (num_aus - 1)
     return (bits + 7) // 8
 
 
