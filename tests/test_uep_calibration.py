@@ -1,0 +1,136 @@
+"""Online UEP region-table self-calibration (fec/uep_calibrate.py).
+
+The 10 budget-solved ('s') UEP rows ship with quantified ambiguity
+(UEP_AMBIGUITY.json). These tests prove the receiver resolves that
+ambiguity from the signal itself: an ensemble synthesized with a
+deliberately DIFFERENT (alternative-candidate) region table decodes
+cleanly anyway (VERDICT r4 'Next round' item 2 done-condition).
+"""
+
+import numpy as np
+import pytest
+
+from tpudab.constants.puncture import get_uep_profile
+from tpudab.fec.conv import conv_encode
+from tpudab.fec.depuncture import puncture
+from tpudab.fec.uep_calibrate import (CALIBRATION_FRAMES, calibrate,
+                                      candidate_profiles, needs_calibration)
+
+KEY = (128, 2)  # an 's' (budget-solved) row: 116 CU, MP2 classic DAB
+
+
+def _logical_soft(prof, n_frames=CALIBRATION_FRAMES, seed=0, snr_amp=0.15):
+    """Soft codewords u_m as they come out of the time deinterleaver, for
+    data encoded/punctured under `prof`."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for _ in range(n_frames):
+        bits = rng.integers(0, 2, prof.data_bits).astype(np.uint8)
+        p = puncture(conv_encode(bits), prof.to_profile())
+        soft = (1.0 - 2.0 * p).astype(np.float32)
+        if prof.padding_bits:
+            soft = np.concatenate(
+                [soft, np.zeros(prof.padding_bits, np.float32)])
+        rows.append(soft + snr_amp * rng.standard_normal(soft.shape[0]))
+    return np.stack(rows)
+
+
+def test_candidates_shipped_first():
+    cands = candidate_profiles(*KEY)
+    assert len(cands) >= 10
+    assert cands[0] == get_uep_profile(*KEY)
+    assert all(c.consistent() for c in cands)
+    assert needs_calibration(*KEY)
+    assert not needs_calibration(128, 5)  # 'a' row
+
+
+def test_calibrate_confirms_shipped_table():
+    res = calibrate(_logical_soft(get_uep_profile(*KEY)), *KEY)
+    assert res.locked and not res.swapped
+    assert res.best_score < 0.005
+    assert res.runner_up_score - res.best_score >= 0.0025
+
+
+@pytest.mark.parametrize("alt_idx", [1, 5, 11])
+def test_calibrate_recovers_alternative_table(alt_idx):
+    """Signal punctured with an alternative candidate: calibration must
+    lock onto exactly that candidate."""
+    alt = candidate_profiles(*KEY)[alt_idx]
+    res = calibrate(_logical_soft(alt, seed=alt_idx), *KEY)
+    assert res.locked and res.swapped
+    assert (res.chosen.l, res.chosen.pi, res.chosen.padding_bits) == \
+        (alt.l, alt.pi, alt.padding_bits)
+    assert res.best_score < 0.005
+    assert res.runner_up_score - res.best_score >= 0.0025
+
+
+def test_ensemble_with_alternative_table_decodes_cleanly(monkeypatch):
+    """End to end at frame-bits level: the synthesizer transmits subchannel
+    payloads under an ALTERNATIVE region table (as a real broadcast with a
+    mistranscribed row would); the receiver ships the suspect row, self-
+    calibrates on the first frames, and recovers the payload bit-exactly."""
+    import tpudab.synth.ensemble as synth_mod
+    from tpudab.models.receiver import Receiver
+    from tpudab.synth import (EnsembleSpec, ServiceSpec, SubchannelSpec,
+                              EnsembleSynthesizer)
+    from tpudab.utils.bits import bits_to_soft
+
+    alt = candidate_profiles(*KEY)[4]
+    real_get = synth_mod.get_uep_profile
+    monkeypatch.setattr(
+        synth_mod, "get_uep_profile",
+        lambda br, pl: alt if (br, pl) == KEY else real_get(br, pl))
+
+    spec = EnsembleSpec(
+        ensemble_id=0xCA11, label="Calib Mux",
+        services=[ServiceSpec(0xB200, "MP2 Alt", [(0, 0, 6)])],
+        subchannels=[SubchannelSpec(6, start_cu=0, size_cu=116,
+                                    protection=("uep",) + KEY)])
+    synth = EnsembleSynthesizer(spec, seed=21)
+    rng = np.random.default_rng(33)
+    frame_bytes = KEY[0] * 3
+    payload = rng.integers(0, 256, (64, frame_bytes)).astype(np.uint8)
+    synth.payload_fn[6] = lambda m: payload[m].tobytes()
+
+    n_frames = 10
+    soft = bits_to_soft(np.stack([synth.frame_bits(i)
+                                  for i in range(n_frames)]))
+    rx = Receiver(decode_audio=False)
+    outs = rx.process_frame_bits(soft)
+
+    cal = rx.uep_calibrations[6]
+    assert cal.locked and cal.swapped
+    assert (cal.chosen.l, cal.chosen.pi, cal.chosen.padding_bits) == \
+        (alt.l, alt.pi, alt.padding_bits)
+
+    got = np.asarray(outs[6].raw_frames)
+    assert got.shape[0] >= 20
+    np.testing.assert_array_equal(got, payload[: got.shape[0]])
+
+
+def test_ensemble_with_shipped_table_not_swapped():
+    """Control: a broadcast using the shipped table must calibrate to it
+    (no spurious swap) and decode bit-exactly."""
+    from tpudab.models.receiver import Receiver
+    from tpudab.synth import (EnsembleSpec, ServiceSpec, SubchannelSpec,
+                              EnsembleSynthesizer)
+    from tpudab.utils.bits import bits_to_soft
+
+    spec = EnsembleSpec(
+        ensemble_id=0xCA12, label="Calib Mux2",
+        services=[ServiceSpec(0xB201, "MP2 Std", [(0, 0, 6)])],
+        subchannels=[SubchannelSpec(6, start_cu=0, size_cu=116,
+                                    protection=("uep",) + KEY)])
+    synth = EnsembleSynthesizer(spec, seed=22)
+    rng = np.random.default_rng(34)
+    payload = rng.integers(0, 256, (64, KEY[0] * 3)).astype(np.uint8)
+    synth.payload_fn[6] = lambda m: payload[m].tobytes()
+
+    soft = bits_to_soft(np.stack([synth.frame_bits(i) for i in range(10)]))
+    rx = Receiver(decode_audio=False)
+    outs = rx.process_frame_bits(soft)
+
+    cal = rx.uep_calibrations[6]
+    assert cal.locked and not cal.swapped
+    got = np.asarray(outs[6].raw_frames)
+    np.testing.assert_array_equal(got, payload[: got.shape[0]])

@@ -55,9 +55,14 @@ TABLE_CONFIDENCE = {
                             "tightest zero-slack prior the shipped 224/PL3 "
                             "and 224/PL4 rows fall just outside the induced "
                             "PI ranges — those two are the most suspect. "
-                            "Only the 10 solved rows risk elevated BER on "
-                            "real broadcasts; an off-air capture remains "
-                            "the only way to close them"),
+                            "MITIGATED AT RUNTIME: on first decode of a "
+                            "subchannel using an 's' row the receiver "
+                            "self-calibrates — it scores the shipped table "
+                            "and the enumerated candidates against the "
+                            "received bits with a re-encode oracle and "
+                            "locks the winner per tune "
+                            "(fec/uep_calibrate.py; result surfaced in "
+                            "decode output and dashboard)"),
     "prs_h_table": (HIGH, "4x32 h table matches the public phase-reference "
                           "tables bit-for-bit"),
     "prs_mode1_blocks": (HIGH, "48-row (k',i,n) table matches the public "

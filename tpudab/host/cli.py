@@ -69,6 +69,8 @@ def _print_db(receiver) -> None:
                                               protection_level=pl))
     for c in sorted(caveats):
         print(f"note: {c}")
+    for sid, cal in sorted(receiver.uep_calibrations.items()):
+        print(f"subch {sid}: {cal.summary()}")
 
 
 def _load_config(args):

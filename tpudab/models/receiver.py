@@ -91,6 +91,14 @@ class Receiver:
     def db(self):
         return self.updater.db
 
+    @property
+    def uep_calibrations(self):
+        """{subch_id: CalibrationResult} for subchannels whose budget-solved
+        UEP row was self-calibrated online (fec/uep_calibrate.py)."""
+        return {sid: d.calibration
+                for sid, d in self.subch_decoders.items()
+                if d.calibration is not None}
+
     # ---------------- channel management ----------------
 
     def _refresh_channels(self) -> None:

@@ -54,6 +54,13 @@ class StepDriver:
 
         if not receiver.subch_decoders:
             return
+        if any(getattr(d, "_cal_pending", False)
+               for d in receiver.subch_decoders.values()):
+            # a budget-solved UEP row is still self-calibrating on the host
+            # path (fec/uep_calibrate.py); building now would bake the
+            # unverified table into the jitted step. Small batches may need
+            # an extra batch or two to accumulate the calibration frames.
+            return
         current = set(receiver.subch_decoders.keys())
         if self.step is not None and \
                 current == {c.subch_id for c in self.step.subchannels}:

@@ -41,6 +41,7 @@ class SubchannelConfig:
     size_cu: int
     profile: PunctureProfile
     padding_bits: int = 0  # UEP padding appended after the tail
+    uep_key: Optional[tuple] = None  # (bitrate_kbps, protection_level) if UEP
 
     @property
     def slice_bits(self) -> int:
@@ -57,7 +58,8 @@ class SubchannelConfig:
             from tpudab.constants.puncture import get_uep_profile_by_index
             uep: UEPProfile = get_uep_profile_by_index(sub.uep_index)
             return cls(sub.subch_id, sub.start_cu, uep.size_cu,
-                       uep.to_profile(), uep.padding_bits)
+                       uep.to_profile(), uep.padding_bits,
+                       uep_key=(uep.bitrate_kbps, uep.protection_level))
         profile = eep_profile(sub.size_cu, sub.eep_level, sub.eep_option)
         return cls(sub.subch_id, sub.start_cu, sub.size_cu, profile, 0)
 
@@ -75,16 +77,50 @@ class SubchannelDecoder:
         n = config.slice_bits
         self._history = jnp.zeros((TIME_INTERLEAVE_DEPTH - 1, n), dtype=jnp.float32)
         self._n_seen = 0
+        # Online self-calibration for budget-solved ('s') UEP rows: resolve
+        # the region-table ambiguity from the broadcast itself before the
+        # first frames are decoded (fec/uep_calibrate.py; VERDICT r4 item 2)
+        self.calibration = None
+        from tpudab.fec.uep_calibrate import needs_calibration
+        self._cal_pending = (config.uep_key is not None
+                             and needs_calibration(*config.uep_key))
+        self._cal_buf: List[np.ndarray] = []
 
+    def _maybe_calibrate(self, logical, c: int) -> None:
+        """Run the UEP table calibration on the first complete logical
+        frames of the stream, swapping self.config to the winning table.
+        The typical first batch carries 25-49 complete frames, so the lock
+        happens before any frame is emitted (and before the device step is
+        built from this config); tiny batches accumulate until enough
+        complete frames have been seen."""
+        from tpudab.fec import uep_calibrate as uc
+
+        idx = np.arange(c) + self._n_seen - (TIME_INTERLEAVE_DEPTH - 1)
+        fresh = np.asarray(logical)[idx >= 0]
+        if fresh.shape[0]:
+            self._cal_buf.append(fresh[: uc.CALIBRATION_FRAMES])
+        frames = np.concatenate(self._cal_buf) if self._cal_buf else fresh
+        if frames.shape[0] < uc.CALIBRATION_FRAMES:
+            return  # wait for more complete frames
+        self._cal_pending = False
+        self._cal_buf = []
+        res = uc.calibrate(frames[: uc.CALIBRATION_FRAMES], *self.config.uep_key)
+        self.calibration = res
+        if res.swapped:
+            self.config = dataclasses.replace(
+                self.config, profile=res.chosen.to_profile(),
+                padding_bits=res.chosen.padding_bits)
 
     def process(self, cif_soft: np.ndarray):
-        cfg = self.config
         c, n = cif_soft.shape
-        assert n == cfg.slice_bits
+        assert n == self.config.slice_bits
         buf = jnp.concatenate([self._history, jnp.asarray(cif_soft, jnp.float32)],
                               axis=0)  # (15 + C, n)
         logical = deinterleave_batch(buf, c)  # (C, n) soft codewords u_{m}
         self._history = buf[-(TIME_INTERLEAVE_DEPTH - 1):]
+        if self._cal_pending:
+            self._maybe_calibrate(logical, c)
+        cfg = self.config
 
         body = logical[:, : n - cfg.padding_bits] if cfg.padding_bits else logical
         mother = depuncture(body, cfg.profile)
