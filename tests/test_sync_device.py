@@ -1,8 +1,9 @@
-"""Device-native acquisition (split-real, batched) vs the complex oracle.
+"""Device-native acquisition (split-real, batched) vs two oracles.
 
 tpudab.ofdm.sync_device.acquire_device is the production path (runs on TPU
-backends without complex64); tpudab.ofdm.sync.acquire is the complex-jnp
-oracle. They implement the same algorithm and must agree."""
+backends without complex64); tpudab.ofdm.sync.acquire (complex-jnp) and
+tpudab.ofdm.sync_np.acquire_np (pure NumPy, no JAX) are independent
+oracles. All three implement the same algorithm and must agree."""
 
 import numpy as np
 import pytest
@@ -10,6 +11,7 @@ import pytest
 from tpudab.constants.ofdm_params import get_ofdm_params
 from tpudab.synth.modulator import modulate_frame_bits, Impairments, apply_impairments
 from tpudab.ofdm.sync import acquire
+from tpudab.ofdm.sync_np import acquire_np
 from tpudab.ofdm.sync_device import (acquire_device, acquire_host,
                                      fine_time_sync_device, fine_freq_device)
 
@@ -33,11 +35,16 @@ def test_acquire_device_matches_oracle(imp):
     iq = _capture(5, imp)
     ref = acquire(iq)
     got = acquire_host(iq)
+    ref2 = acquire_np(iq)
     assert got["frame_start"] == ref["frame_start"] == imp.delay_samples
     assert got["coarse_bins"] == ref["coarse_bins"]
     assert abs(got["net_freq_hz"] - imp.freq_offset_hz) < 20.0
     assert abs(got["net_freq_hz"] - ref["net_freq_hz"]) < 5.0
     assert got["time_quality"] > 3.0
+    # pure-NumPy oracle (no JAX anywhere in its callchain)
+    assert ref2["frame_start"] == ref["frame_start"]
+    assert ref2["coarse_bins"] == ref["coarse_bins"]
+    assert abs(ref2["net_freq_hz"] - ref["net_freq_hz"]) < 5.0
 
 
 def test_acquire_device_batched():

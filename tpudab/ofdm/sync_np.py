@@ -3,9 +3,10 @@
 DEMOTED TO TEST ORACLE (round 2): production acquisition is
 tpudab.ofdm.sync_device — split-real, batched over ensembles, jitted, and
 runnable on TPU backends without complex64 (it acquires all N ensembles of
-a chip in one ~13 ms device call at B=16 on v5e). This NumPy mirror and the
-complex-jnp tpudab.ofdm.sync remain as independent oracles for parity tests
-(tests/test_sync_device.py, tests/test_host.py).
+a chip in one ~13 ms device call at B=16 on v5e). This NumPy mirror is the
+JAX-free oracle in the three-way parity test
+tests/test_sync_device.py::test_acquire_device_matches_oracle (alongside
+the complex-jnp tpudab.ofdm.sync).
 """
 
 from __future__ import annotations
