@@ -325,6 +325,119 @@ def test_stream_retune_on_device_step_path(two_channel_server):
         src.close()
 
 
+@pytest.mark.slow
+def test_stream_retune_with_tuner_latency():
+    """Real dongles keep streaming the OLD channel for tens to hundreds of
+    ms after SET_FREQ. With the server modeling 300 ms of tune latency,
+    the drain (retune_drain_s=0.45 default + ring fill) must still prevent
+    an old-ensemble relock: after the retune only the new ensemble may
+    appear in the DB (VERDICT r4 item 8)."""
+    from tpudab.host.rtl_tcp import RtlTcpServer, LoopingCaptureSource, TcpSource
+    from tpudab.host.streaming import StreamingRadio
+    from tpudab.constants.channels import channel_freq_hz
+
+    iq_c, _ = _capture(8, label="Mux Charlie", eid=0xC12C, seed=5)
+    iq_d, _ = _capture(8, label="Mux Delta", eid=0xD12D, seed=6)
+    src_cb = LoopingCaptureSource({channel_freq_hz("12C"): iq_c,
+                                   channel_freq_hz("12D"): iq_d})
+    server = RtlTcpServer(src_cb, tune_latency_s=0.3).start()
+    src = TcpSource(server.host, server.port, freq_hz=channel_freq_hz("12C"))
+    radio = StreamingRadio(src.ring.read_complex64, batch_frames=2,
+                           use_device_step=False, tuner=src, channel="12C",
+                           drift_resample=False)
+    seen = {}
+    post_retune_labels = []
+
+    def on_outputs(outputs):
+        label = radio.receiver.db.ensemble.label
+        if "retuned" in seen and label:
+            post_retune_labels.append(label)
+        if label:
+            seen[label] = seen.get(label, 0) + 1
+        if label == "Mux Charlie" and "retuned" not in seen:
+            seen["retuned"] = True
+            radio.retune("12D")
+        if seen.get("Mux Delta", 0) >= 3:
+            radio.request_stop()
+
+    t = threading.Thread(target=radio.run,
+                         kwargs=dict(max_batches=250, on_outputs=on_outputs))
+    t.start()
+    t.join(timeout=180)
+    try:
+        assert not t.is_alive(), "stream loop hung"
+        assert seen.get("Mux Charlie", 0) >= 1, seen
+        assert seen.get("Mux Delta", 0) >= 3, seen
+        # the decisive assertion: despite 300 ms of old-channel samples
+        # arriving AFTER SET_FREQ, the old ensemble never relocked
+        assert "Mux Charlie" not in post_retune_labels, post_retune_labels
+        assert radio.receiver.db.ensemble.ensemble_id == 0xD12D
+    finally:
+        radio.request_stop()
+        src.close()
+        server.stop()
+
+
+@pytest.mark.slow
+def test_stream_retune_mode4():
+    """Retune-while-running in transmission mode IV (halved FFT/CP/frame
+    geometry — where a hard-coded mode-I assumption in the drain
+    arithmetic or frame math would hide; VERDICT r4 weak #6)."""
+    from tpudab.host.rtl_tcp import RtlTcpServer, LoopingCaptureSource, TcpSource
+    from tpudab.host.streaming import StreamingRadio
+    from tpudab.constants.channels import channel_freq_hz
+    from tpudab.constants.dab_params import get_dab_params
+
+    def _capture4(label, eid, seed):
+        spec = EnsembleSpec(
+            ensemble_id=eid, label=label,
+            services=[ServiceSpec(0xC601, "SvcL", [(0, ASCTY_DAB_PLUS, 5)])],
+            subchannels=[SubchannelSpec(5, start_cu=0, size_cu=24,
+                                        protection=("eep", 3, 0))])
+        synth = EnsembleSynthesizer(spec, mode=4, seed=seed)
+        rng = np.random.default_rng(400 + seed)
+        nb_cifs = get_dab_params(4).nb_cifs
+        data = rng.integers(0, 256, (16 * nb_cifs + 20, 32 * 3)).astype(np.uint8)
+        synth.payload_fn[5] = lambda m: data[m].tobytes()
+        return np.concatenate([modulate_frame_bits(synth.frame_bits(i), 4)
+                               for i in range(16)]).astype(np.complex64)
+
+    iq_c = _capture4("Four Charlie", 0x4C4C, 15)
+    iq_d = _capture4("Four Delta", 0x4D4D, 16)
+    src_cb = LoopingCaptureSource({channel_freq_hz("12C"): iq_c,
+                                   channel_freq_hz("12D"): iq_d})
+    server = RtlTcpServer(src_cb).start()
+    src = TcpSource(server.host, server.port, freq_hz=channel_freq_hz("12C"))
+    radio = StreamingRadio(src.ring.read_complex64, mode=4, batch_frames=4,
+                           use_device_step=False, tuner=src, channel="12C",
+                           drift_resample=False)
+    seen = {}
+
+    def on_outputs(outputs):
+        label = radio.receiver.db.ensemble.label
+        if label:
+            seen[label] = seen.get(label, 0) + 1
+        if label == "Four Charlie" and "retuned" not in seen:
+            seen["retuned"] = True
+            radio.retune("12D")
+        if seen.get("Four Delta", 0) >= 3:
+            radio.request_stop()
+
+    t = threading.Thread(target=radio.run,
+                         kwargs=dict(max_batches=250, on_outputs=on_outputs))
+    t.start()
+    t.join(timeout=180)
+    try:
+        assert not t.is_alive(), "stream loop hung"
+        assert seen.get("Four Charlie", 0) >= 1, seen
+        assert seen.get("Four Delta", 0) >= 3, seen
+        assert radio.receiver.db.ensemble.ensemble_id == 0x4D4D
+    finally:
+        radio.request_stop()
+        src.close()
+        server.stop()
+
+
 def test_retune_resets_stats_in_place():
     """The dashboard holds a reference to radio.stats; _do_retune must
     reset the SAME object, not rebind it."""

@@ -80,6 +80,17 @@ def candidate_profiles(bitrate_kbps: int, protection_level: int) -> List[UEPProf
     return out
 
 
+def _mismatch_from_bits(bits: np.ndarray, body: np.ndarray, p) -> float:
+    idx = np.nonzero(p.mask())[0]
+    recv_hard = (body < 0).astype(np.uint8)
+    mism = total = 0
+    for frame_bits, frame_recv in zip(bits, recv_hard):
+        enc = conv_encode(frame_bits)[idx]
+        mism += int((enc != frame_recv).sum())
+        total += enc.shape[0]
+    return mism / max(total, 1)
+
+
 def reencode_mismatch(logical_soft: np.ndarray, prof: UEPProfile) -> float:
     """Decode frames under `prof`, re-encode, and measure the fraction of
     received (punctured) positions whose hard decision disagrees with the
@@ -92,15 +103,32 @@ def reencode_mismatch(logical_soft: np.ndarray, prof: UEPProfile) -> float:
     p = prof.to_profile()
     mother = depuncture_np(body, p).reshape(soft.shape[0], p.data_bits + 6, 4)
     bits = np.asarray(viterbi_decode_best(mother, p.data_bits))
-    idx = np.nonzero(p.mask())[0]
-    recv_hard = (body < 0).astype(np.uint8)
-    mism = 0
-    total = 0
-    for frame_bits, frame_recv in zip(bits, recv_hard):
-        enc = conv_encode(frame_bits)[idx]
-        mism += int((enc != frame_recv).sum())
-        total += enc.shape[0]
-    return mism / max(total, 1)
+    return _mismatch_from_bits(bits, body, p)
+
+
+def _score_all(logical_soft: np.ndarray, cands) -> list:
+    """Score every candidate with ONE batched Viterbi call: all candidates
+    share data_bits (same bitrate), so the (n_cand * F, T, 4) stack decodes
+    in a single dispatch — on the CPU host path this turns ~13 sequential
+    XLA-scan decodes into one, keeping the live-loop stall at channel
+    start to well under a second (the stall that starved the audio sink in
+    tests/test_realtime.py mode-4 before frames were additionally held
+    back during calibration)."""
+    from tpudab.ops.viterbi_pallas import viterbi_decode_best
+
+    soft = np.asarray(logical_soft, dtype=np.float32)
+    f, n = soft.shape
+    mothers, bodies = [], []
+    for prof in cands:
+        body = soft[:, : n - prof.padding_bits] if prof.padding_bits else soft
+        p = prof.to_profile()
+        bodies.append(body)
+        mothers.append(depuncture_np(body, p).reshape(f, p.data_bits + 6, 4))
+    stack = np.concatenate(mothers)                  # (n_cand * F, T, 4)
+    bits = np.asarray(viterbi_decode_best(stack, cands[0].data_bits))
+    return [_mismatch_from_bits(bits[i * f : (i + 1) * f], bodies[i],
+                                cands[i].to_profile())
+            for i in range(len(cands))]
 
 
 @dataclasses.dataclass
@@ -129,7 +157,7 @@ def calibrate(logical_soft: np.ndarray, bitrate_kbps: int,
     the winner. Falls back to the shipped row (locked=False) if the margin
     is not decisive."""
     cands = candidate_profiles(bitrate_kbps, protection_level)
-    scores = [reencode_mismatch(logical_soft, c) for c in cands]
+    scores = _score_all(logical_soft, cands)
     order = np.argsort(scores)
     best, second = int(order[0]), int(order[1]) if len(order) > 1 else int(order[0])
     n_pos = logical_soft.shape[0] * cands[best].to_profile().punctured_bits

@@ -12,6 +12,8 @@ single-key commands on the streaming CLI:
   c        toggle coarse-CFO     [/]  desync threshold -/+
   f/F      fine-freq beta -/+    q  quit
   </>      Band III channel down/up (retune, live tuner only)
+  i        toggle inline slideshow images (kitty/sixel/half-block,
+           host/termimage.py; reference render_radio_block.cpp:309-384)
 
 Live OFDM tunables (c, [, ], f, F) write the running StreamingRadio's
 mirrors of OFDM_Demod::GetConfig() — reference parity with the ImGui
@@ -67,6 +69,10 @@ class KeyController:
         self.config_manager = config_manager
         self.selected = 0
         self.quit = False
+        # 'i' toggle: render decoded slideshow images inline in the
+        # dashboard (host/termimage.py; reference displays slides via an
+        # OpenGL texture cache, render_radio_block.cpp:309-384)
+        self.show_slides = False
         self._restore = None
         if read_key is None:
             read_key, self._restore = _tty_key_reader()
@@ -111,6 +117,8 @@ class KeyController:
             r.run_all()
         elif key == "s":
             r.stop_all()
+        elif key == "i":
+            self.show_slides = not self.show_slides
         elif key == "m" and a is not None:
             a.muted = not a.muted
         elif key == "+" and a is not None:

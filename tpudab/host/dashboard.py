@@ -175,6 +175,16 @@ def render_text(receiver, stats=None, audio=None, width: int = 78,
                    for ch in receiver.channels.values())
     if rejected:
         lines.append(f" slideshows rejected (corrupt): {rejected}")
+    if slides and controls is not None and getattr(controls, "show_slides",
+                                                   False):
+        # inline image of the most recent slide ('i' toggles; kitty/sixel/
+        # half-block per terminal — reference render_radio_block.cpp:309-384)
+        from tpudab.host.termimage import render_slide
+        s = slides[-1]
+        art = render_slide(bytes(s.data), s.image_format or "png")
+        if art:
+            lines.append(f" slide: {s.name or s.transport_id}")
+            lines.append(art)
     if audio is not None:
         lines.append(f" audio: sink={audio.sink_rate} Hz "
                      f"gain={audio.global_gain:.2f} "

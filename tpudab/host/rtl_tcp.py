@@ -88,7 +88,8 @@ class RtlTcpServer:
 
     def __init__(self, source: Callable[[float, int], np.ndarray],
                  host: str = "127.0.0.1", port: int = 0,
-                 tuner_type: int = 5, chunk_samples: int = 16384):
+                 tuner_type: int = 5, chunk_samples: int = 16384,
+                 tune_latency_s: float = 0.0):
         self.source = source
         self._srv = socket.create_server((host, port))
         self.port = self._srv.getsockname()[1]
@@ -98,6 +99,13 @@ class RtlTcpServer:
         self.freq_hz = 0.0
         self.sample_rate = int(SAMPLING_RATE)
         self._tuner_type = tuner_type
+        # Real dongles keep streaming the OLD channel for tens to hundreds
+        # of ms after SET_FREQ (PLL settle + USB buffering). tune_latency_s
+        # models that: the served frequency switches only after this many
+        # seconds' worth of samples have been sent post-command.
+        self.tune_latency_s = tune_latency_s
+        self._pending_freq: float | None = None
+        self._latency_left = 0
         self._thread = threading.Thread(target=self._serve, daemon=True)
 
     def start(self) -> "RtlTcpServer":
@@ -134,10 +142,19 @@ class RtlTcpServer:
                 cmd, arg = pending[0], struct.unpack(">I", pending[1:5])[0]
                 pending = pending[5:]
                 if cmd == CMD_SET_FREQ:
-                    self.freq_hz = float(arg)
+                    if self.tune_latency_s > 0 and self.freq_hz:
+                        self._pending_freq = float(arg)
+                        self._latency_left = int(
+                            self.tune_latency_s * self.sample_rate)
+                    else:
+                        self.freq_hz = float(arg)
                 elif cmd == CMD_SET_SAMPLE_RATE:
                     self.sample_rate = int(arg)
+            if self._pending_freq is not None and self._latency_left <= 0:
+                self.freq_hz = self._pending_freq
+                self._pending_freq = None
             iq = np.asarray(self.source(self.freq_hz, self._chunk))
+            self._latency_left -= iq.shape[0]
             u8 = np.empty(iq.shape[0] * 2, dtype=np.uint8)
             scaled_re = np.clip(iq.real * 128.0 + 127.5, 0, 255)
             scaled_im = np.clip(iq.imag * 128.0 + 127.5, 0, 255)

@@ -46,6 +46,13 @@ class StreamingStats:
     const_im: Optional[np.ndarray] = None   # (GetFrameDataVec analog)
 
 
+# Upper bound on old-channel samples hiding in the TCP socket buffers
+# (server send + client recv) during a retune — auto-tuned Linux buffers
+# reach several MB of u8 IQ (2 bytes/sample). 2M samples ~ 1 s at 2.048
+# MS/s; see StreamingRadio._do_retune.
+_TCP_INFLIGHT_SAMPLES = 2_000_000
+
+
 def _default_device_step() -> bool:
     """Device step by default on TPU backends only."""
     try:
@@ -75,7 +82,7 @@ class StreamingRadio:
                  drift_resample: bool = True,
                  use_device_step: Optional[bool] = None,
                  tuner=None, channel: Optional[str] = None,
-                 retune_drain_s: float = 0.25):
+                 retune_drain_s: float = 0.45):
         self.source = source
         self.mode = mode
         self.params = get_ofdm_params(mode)
@@ -139,18 +146,37 @@ class StreamingRadio:
         if self.tuner is not None:
             self.tuner.set_freq(channel_freq_hz(channel))
         self.channel = channel
-        # drain: socket/ring samples in flight belong to the old channel —
-        # without this, acquisition happily re-locks onto the old ensemble.
-        # Cover the ring's CURRENT fill (can approach a second on a real
-        # dongle when decode runs at ~1x) plus a margin for socket buffers.
+        # drain: every sample already in flight belongs to the old channel —
+        # without a full flush, acquisition happily re-locks onto the old
+        # ensemble. The old-channel backlog decomposes as
+        #   ring fill (up to the ring's 2 s capacity when decode lags)
+        # + TCP socket buffers (server send + client recv, invisible to
+        #   ring.fill — measured >0.5 s on a loopback server)
+        # + tuner command latency (real dongles keep streaming the old
+        #   channel for tens to hundreds of ms after SET_FREQ — PLL settle
+        #   + USB buffering; modeled by RtlTcpServer.tune_latency_s).
+        # retune_drain_s (default 0.45 s) covers the 300 ms worst-case
+        # latency with margin; _TCP_INFLIGHT_SAMPLES bounds the socket
+        # term (tests/test_live_source.py::test_stream_retune_with_tuner_latency).
         drain = int(self.retune_drain_s * SAMPLING_RATE)
         ring = getattr(self.tuner, "ring", None)
         if ring is not None:
             drain += ring.fill // 8          # bytes -> complex64 samples
-        while drain > 0:
+            drain += _TCP_INFLIGHT_SAMPLES
+        # a LIVE source's ring can be transiently empty mid-drain (the
+        # reader thread refills it as the dongle keeps streaming the old
+        # channel) — breaking on the first empty read aborted the drain
+        # after only the buffered fill and let the old ensemble relock
+        # (caught by test_stream_retune_with_tuner_latency). Only a
+        # sustained dry spell (~0.5 s with nothing arriving) means EOF.
+        dry = 0
+        while drain > 0 and dry < 100:
             c = self.source(min(drain, 1 << 16))
             if c is None or len(c) == 0:
-                break
+                dry += 1
+                time.sleep(0.005)
+                continue
+            dry = 0
             drain -= len(c)
         self._residual = np.zeros(0, dtype=np.complex64)
         self.receiver.reset()

@@ -86,30 +86,40 @@ class SubchannelDecoder:
                              and needs_calibration(*config.uep_key))
         self._cal_buf: List[np.ndarray] = []
 
-    def _maybe_calibrate(self, logical, c: int) -> None:
-        """Run the UEP table calibration on the first complete logical
-        frames of the stream, swapping self.config to the winning table.
-        The typical first batch carries 25-49 complete frames, so the lock
-        happens before any frame is emitted (and before the device step is
-        built from this config); tiny batches accumulate until enough
-        complete frames have been seen."""
+    def _maybe_calibrate(self, logical, c: int) -> bool:
+        """Accumulate complete logical frames and run the UEP table
+        calibration, swapping self.config to the winning table. While
+        pending, process() HOLDS all output (nothing is emitted under an
+        unverified table, and on the live path the audio sink cannot prime
+        and then starve during the calibration's Viterbi work — the mode-4
+        realtime regression). Returns True once calibration is resolved."""
         from tpudab.fec import uep_calibrate as uc
 
         idx = np.arange(c) + self._n_seen - (TIME_INTERLEAVE_DEPTH - 1)
         fresh = np.asarray(logical)[idx >= 0]
         if fresh.shape[0]:
-            self._cal_buf.append(fresh[: uc.CALIBRATION_FRAMES])
-        frames = np.concatenate(self._cal_buf) if self._cal_buf else fresh
-        if frames.shape[0] < uc.CALIBRATION_FRAMES:
-            return  # wait for more complete frames
+            self._cal_buf.append(fresh)
+        have = sum(f.shape[0] for f in self._cal_buf)
+        if have < uc.CALIBRATION_FRAMES:
+            return False  # wait for more complete frames, holding output
+        frames = np.concatenate(self._cal_buf)
         self._cal_pending = False
-        self._cal_buf = []
         res = uc.calibrate(frames[: uc.CALIBRATION_FRAMES], *self.config.uep_key)
         self.calibration = res
         if res.swapped:
             self.config = dataclasses.replace(
                 self.config, profile=res.chosen.to_profile(),
                 padding_bits=res.chosen.padding_bits)
+        return True
+
+    def _decode(self, logical, c: int):
+        cfg = self.config
+        n = cfg.slice_bits
+        body = logical[:, : n - cfg.padding_bits] if cfg.padding_bits else logical
+        mother = depuncture(body, cfg.profile)
+        mother = mother.reshape(c, cfg.data_bits + 6, 4)
+        bits = np.asarray(viterbi_decode(mother, cfg.data_bits))
+        return pack_bits(np.stack([descramble_bits(b) for b in bits]))
 
     def process(self, cif_soft: np.ndarray):
         c, n = cif_soft.shape
@@ -118,16 +128,23 @@ class SubchannelDecoder:
                               axis=0)  # (15 + C, n)
         logical = deinterleave_batch(buf, c)  # (C, n) soft codewords u_{m}
         self._history = buf[-(TIME_INTERLEAVE_DEPTH - 1):]
+
         if self._cal_pending:
-            self._maybe_calibrate(logical, c)
-        cfg = self.config
+            done = self._maybe_calibrate(logical, c)
+            self._n_seen += c
+            if not done:
+                # hold: nothing decoded until the table is verified
+                empty = np.zeros((0, self.config.data_bits // 8), np.uint8)
+                return empty, np.zeros(0, bool), np.zeros(0, np.int64)
+            # decode everything buffered (all complete frames so far) at
+            # once under the winning table and emit with their indices
+            frames = np.concatenate(self._cal_buf)
+            self._cal_buf = []
+            out = self._decode(frames, frames.shape[0])
+            idx = np.arange(frames.shape[0])
+            return out, np.ones(frames.shape[0], bool), idx
 
-        body = logical[:, : n - cfg.padding_bits] if cfg.padding_bits else logical
-        mother = depuncture(body, cfg.profile)
-        mother = mother.reshape(c, cfg.data_bits + 6, 4)
-        bits = np.asarray(viterbi_decode(mother, cfg.data_bits))
-        out = pack_bits(np.stack([descramble_bits(b) for b in bits]))
-
+        out = self._decode(logical, c)
         # logical frame m = n_seen - 15 + row: with the new batch of C CIFs,
         # exactly frames n_seen-15 .. n_seen+C-16 became complete (frame m
         # needs CIFs m..m+15). Rows with m < 0 are warm-up (zero history).
@@ -139,6 +156,7 @@ class SubchannelDecoder:
     def reset(self):
         self._history = jnp.zeros_like(self._history)
         self._n_seen = 0
+        self._cal_buf = []  # the calibration LOCK itself survives a resync
 
 
 class MSCDecoder:
