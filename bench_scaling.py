@@ -174,10 +174,15 @@ def dcn_worker(pid: int, nproc: int, coord: str, reps: int) -> None:
     dt_ms = (time.perf_counter() - t0) / reps * 1e3
     samples = n_ens * t_total * p.nb_frame_length
     per_dev = samples / (dt_ms / 1e3) / nproc
+    # direct cost of the halo ppermute ACROSS the gloo process boundary on
+    # the exact exchange shape (VERDICT r4 item 3: attribute the gap)
+    coll_ms = round(_permute_microbench(mesh, nproc, e_per_shard,
+                                        cfg.slice_bits, iters=32), 3)
     print("DCN_RESULT " + json.dumps({
         "pid": pid, "step_ms": round(dt_ms, 2),
         "samples_per_s_per_device": round(per_dev),
         "realtime_x_per_device": round(per_dev / SAMPLING_RATE, 2),
+        "collective_ms": coll_ms,
     }), flush=True)
 
 
@@ -223,7 +228,8 @@ def run_dcn_row(reps: int, cores: int, have_taskset: bool):
             "transport": "gloo (DCN-path analog)",
             "step_ms": worst["step_ms"],
             "samples_per_s_per_device": worst["samples_per_s_per_device"],
-            "realtime_x_per_device": worst["realtime_x_per_device"]}
+            "realtime_x_per_device": worst["realtime_x_per_device"],
+            "collective_ms": worst.get("collective_ms")}
 
 
 def main() -> None:

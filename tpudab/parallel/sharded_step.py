@@ -131,6 +131,20 @@ class ShardedReceiveStep:
             halo_cat = lax.ppermute(
                 tail_cat, "time",
                 perm=[(i, i + 1) for i in range(self.n_time - 1)])
+            # Pin the exchange EARLY in program order on every shard: the
+            # sender's ppermute has no local consumers, so without this
+            # barrier XLA's CPU thunk scheduler sinks the send to the end
+            # of the sender's program and the receiver stalls through the
+            # sender's ENTIRE step before it can decode — measured +40% on
+            # the 2-process gloo row (250 ms vs 182 ms single-device; the
+            # transfer itself is 1.4 ms). The barrier makes every
+            # downstream op wait for the exchange, which completes in ~ms
+            # right after the edge demod on both sides. On TPU the
+            # transfer is a few hundred KB over ICI (~us), so the lost
+            # transfer/compute overlap is negligible there.
+            soft_edge, frames_re, frames_im, halo_cat = \
+                lax.optimization_barrier(
+                    (soft_edge, frames_re, frames_im, halo_cat))
         else:
             halo_cat = jnp.zeros_like(tail_cat)
 
