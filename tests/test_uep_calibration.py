@@ -108,6 +108,55 @@ def test_ensemble_with_alternative_table_decodes_cleanly(monkeypatch):
     np.testing.assert_array_equal(got, payload[: got.shape[0]])
 
 
+def test_device_step_waits_for_calibration_and_matches_host(monkeypatch):
+    """Full pipeline with use_device_step=True on an alternative-table
+    broadcast: the jitted ReceiveStep must NOT be built until the
+    calibration locks (StepDriver.maybe_build guard), must bake the
+    calibrated table, and must emit the same bytes as the host path."""
+    import tpudab.synth.ensemble as synth_mod
+    from tpudab.models.pipeline import decode_iq
+    from tpudab.synth import (EnsembleSpec, ServiceSpec, SubchannelSpec,
+                              EnsembleSynthesizer)
+    from tpudab.synth.modulator import modulate_frame_bits
+
+    alt = candidate_profiles(*KEY)[4]
+    real_get = synth_mod.get_uep_profile
+    monkeypatch.setattr(
+        synth_mod, "get_uep_profile",
+        lambda br, pl: alt if (br, pl) == KEY else real_get(br, pl))
+
+    spec = EnsembleSpec(
+        ensemble_id=0xCA13, label="Calib Mux3",
+        services=[ServiceSpec(0xB202, "MP2 Dev", [(0, 0, 6)])],
+        subchannels=[SubchannelSpec(6, start_cu=0, size_cu=116,
+                                    protection=("uep",) + KEY)])
+    synth = EnsembleSynthesizer(spec, seed=23)
+    rng = np.random.default_rng(35)
+    payload = rng.integers(0, 256, (64, KEY[0] * 3)).astype(np.uint8)
+    synth.payload_fn[6] = lambda m: payload[m].tobytes()
+    iq = np.concatenate([modulate_frame_bits(synth.frame_bits(i))
+                         for i in range(10)]).astype(np.complex64)
+
+    from tpudab.models.receiver import Receiver
+
+    rx_h, acc_h, _ = decode_iq(iq, batch_frames=5,
+                               receiver=Receiver(decode_audio=False))
+    rx_d, acc_d, _ = decode_iq(iq, batch_frames=5, use_device_step=True,
+                               receiver=Receiver(decode_audio=False))
+    for rx in (rx_h, rx_d):
+        cal = rx.uep_calibrations[6]
+        assert cal.locked and cal.swapped
+        assert (cal.chosen.l, cal.chosen.pi) == (alt.l, alt.pi)
+    want = np.concatenate([o.raw_frames for o in acc_h[6]
+                           if o.raw_frames is not None and len(o.raw_frames)])
+    got = np.concatenate([o.raw_frames for o in acc_d[6]
+                          if o.raw_frames is not None and len(o.raw_frames)])
+    m = min(want.shape[0], got.shape[0])
+    assert m >= 20
+    np.testing.assert_array_equal(got[:m], want[:m])
+    np.testing.assert_array_equal(want[:m], payload[:m])
+
+
 def test_ensemble_with_shipped_table_not_swapped():
     """Control: a broadcast using the shipped table must calibrate to it
     (no spurious swap) and decode bit-exactly."""
