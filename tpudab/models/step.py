@@ -136,8 +136,24 @@ class ReceiveStep:
         # throughput scales with batch, not with per-trellis speed
         # (SURVEY.md sec 7 'Hard parts': lane-pack subchannels).
         c = f * dab.nb_cifs
-        cifs = soft[:, dab.nb_fic_bits:].reshape(e, c, CIF_BITS) if e > 1 \
-            else soft[:, dab.nb_fic_bits:].reshape(c, CIF_BITS)
+
+        def subch_cifs(cfg):
+            """(.., c, slice_bits) CIF slice for one subchannel, taken
+            DIRECTLY from the flat soft: one contiguous column window per
+            CIF position, stacked. Materializing the full (E, c, CIF_BITS)
+            array first — soft[:, fic:].reshape(e, c, CIF_BITS) — splits
+            the lane dim into rows, a measured 2.5 ms bf16 relayout of the
+            whole MSC band at production batch on v5e; the per-subchannel
+            windows touch only the occupied CUs and stay lane-resident."""
+            lo = cfg.start_cu * CU_BITS
+            parts = [jax.lax.slice_in_dim(
+                soft, dab.nb_fic_bits + k * CIF_BITS + lo,
+                dab.nb_fic_bits + k * CIF_BITS + lo + cfg.slice_bits,
+                axis=-1) for k in range(dab.nb_cifs)]
+            st = jnp.stack(parts, axis=-2)      # ([E*]F, nb_cifs, slice)
+            return st.reshape((e, c, cfg.slice_bits) if e > 1
+                              else (c, cfg.slice_bits))
+
         new_carry = dict(carry)
         subch_out = {}
         groups: Dict[tuple, list] = {}
@@ -148,8 +164,7 @@ class ReceiveStep:
         for (profile, slice_bits, padding_bits), cfgs in groups.items():
             logicals = []
             for cfg in cfgs:
-                lo = cfg.start_cu * CU_BITS
-                sl = jax.lax.slice_in_dim(cifs, lo, lo + cfg.slice_bits, axis=-1)
+                sl = subch_cifs(cfg)
                 hist = carry[f"deint_{cfg.subch_id}"]
                 buf = jnp.concatenate([hist, sl], axis=-2)
                 logicals.append(deinterleave_batch(buf, c))
