@@ -157,6 +157,41 @@ def test_device_step_waits_for_calibration_and_matches_host(monkeypatch):
     np.testing.assert_array_equal(want[:m], payload[:m])
 
 
+def test_short_capture_flushes_held_frames():
+    """A capture that ends INSIDE the calibration window (fewer complete
+    frames than CALIBRATION_FRAMES) still emits its frames: finalize()
+    calibrates on whatever is buffered and flushes."""
+    from tpudab.models.receiver import Receiver
+    from tpudab.synth import (EnsembleSpec, ServiceSpec, SubchannelSpec,
+                              EnsembleSynthesizer)
+    from tpudab.utils.bits import bits_to_soft
+
+    spec = EnsembleSpec(
+        ensemble_id=0xCA14, label="Short Mux",
+        services=[ServiceSpec(0xB203, "MP2 Short", [(0, 0, 6)])],
+        subchannels=[SubchannelSpec(6, start_cu=0, size_cu=116,
+                                    protection=("uep",) + KEY)])
+    synth = EnsembleSynthesizer(spec, seed=24)
+    rng = np.random.default_rng(36)
+    payload = rng.integers(0, 256, (16, KEY[0] * 3)).astype(np.uint8)
+    synth.payload_fn[6] = lambda m: payload[m].tobytes()
+
+    # 4 frames = 16 CIFs -> only 1 complete logical frame: held
+    soft = bits_to_soft(np.stack([synth.frame_bits(i) for i in range(4)]))
+    rx = Receiver(decode_audio=False)
+    outs = rx.process_frame_bits(soft)
+    held = outs.get(6)
+    assert held is None or held.raw_frames.shape[0] == 0
+
+    final = rx.finalize()
+    got = np.asarray(final[6].raw_frames)
+    assert got.shape[0] == 1
+    np.testing.assert_array_equal(got[0], payload[0])
+    assert rx.uep_calibrations[6] is not None
+    # a second finalize is a no-op
+    assert rx.finalize() == {}
+
+
 def test_ensemble_with_shipped_table_not_swapped():
     """Control: a broadcast using the shipped table must calibrate to it
     (no spurious swap) and decode bit-exactly."""

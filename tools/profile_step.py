@@ -1,5 +1,9 @@
 """Component-level timing of the receive step on the current device.
 
+SUPERSEDED by tools/profile_step3.py (cumulative in-step deltas; this
+v1 times components standalone, which overstates dispatch overhead).
+Kept for method provenance.
+
 Usage: python tools/profile_step.py  (patient: run alone on the TPU)
 """
 

@@ -1,5 +1,9 @@
 """Production-scale per-stage timing of the receive step (VERDICT round-2 #1).
 
+SUPERSEDED by tools/profile_step3.py (cumulative in-step deltas; this
+v2 times stages at step shapes but standalone, still paying per-stage
+dispatch). Kept for method provenance.
+
 Times the full ReceiveStep at bench shape (16 ensembles x 16 frames) and each
 stage at the exact shapes the step feeds it, so the breakdown sums to ~the
 step time. Run alone on the TPU: PYTHONPATH=. python tools/profile_step2.py

@@ -450,6 +450,13 @@ class StreamingRadio:
                     self._render_audio(outputs)
             if on_outputs is not None:
                 on_outputs(outputs)
+        # end-of-stream: emit frames still held by a pending UEP calibration
+        final = self.receiver.finalize()
+        if final:
+            if self.audio is not None:
+                self._render_audio(final)
+            if on_outputs is not None:
+                on_outputs(final)
         self.stats.state = "STOPPED"
 
     def _render_audio(self, outputs) -> None:

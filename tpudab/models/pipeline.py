@@ -157,6 +157,13 @@ class OfflinePipeline:
             for sid, out in outputs.items():
                 accumulated.setdefault(sid, []).append(out)
             self.stats.next_pos = pos
+        # end-of-stream: frames still held by a pending UEP calibration
+        # (capture ended inside the calibration window) are flushed now
+        final = self.receiver.finalize()
+        if collect is not None and final:
+            collect(final)
+        for sid, out in final.items():
+            accumulated.setdefault(sid, []).append(out)
         return accumulated
 
 

@@ -221,6 +221,23 @@ class Receiver:
             outputs[subch_id] = out
         return outputs
 
+    def finalize(self) -> Dict[int, AudioChannelOutput]:
+        """End-of-stream flush: emit frames still held by a pending UEP
+        calibration (captures shorter than the calibration window)."""
+        outputs: Dict[int, AudioChannelOutput] = {}
+        for subch_id, dec in self.subch_decoders.items():
+            frames_bytes, valid, _ = dec.flush()
+            if not frames_bytes.shape[0]:
+                continue
+            complete = frames_bytes[valid]
+            is_plus = self.channel_is_dabplus.get(subch_id, True)
+            out = AudioChannelOutput(subch_id=subch_id, is_dab_plus=is_plus,
+                                     raw_frames=complete)
+            self._decode_channel(self.channels.get(subch_id), is_plus,
+                                 complete, out)
+            outputs[subch_id] = out
+        return outputs
+
     # ---------------- control (reference parity) ----------------
 
     def set_is_play_audio(self, subch_id: int, value: bool) -> None:

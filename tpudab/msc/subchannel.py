@@ -153,6 +153,30 @@ class SubchannelDecoder:
         self._n_seen += c
         return out, valid, idx
 
+    def flush(self):
+        """End-of-stream: if calibration is still holding frames (capture
+        shorter than CALIBRATION_FRAMES complete frames after discovery),
+        calibrate on whatever is buffered and emit it. Returns
+        (bytes, valid, idx) like process()."""
+        empty = (np.zeros((0, self.config.data_bits // 8), np.uint8),
+                 np.zeros(0, bool), np.zeros(0, np.int64))
+        if not (self._cal_pending and self._cal_buf):
+            return empty
+        from tpudab.fec import uep_calibrate as uc
+
+        frames = np.concatenate(self._cal_buf)
+        self._cal_pending = False
+        self._cal_buf = []
+        res = uc.calibrate(frames, *self.config.uep_key)
+        self.calibration = res
+        if res.swapped:
+            self.config = dataclasses.replace(
+                self.config, profile=res.chosen.to_profile(),
+                padding_bits=res.chosen.padding_bits)
+        out = self._decode(frames, frames.shape[0])
+        idx = np.arange(frames.shape[0])
+        return out, np.ones(frames.shape[0], bool), idx
+
     def reset(self):
         self._history = jnp.zeros_like(self._history)
         self._n_seen = 0
