@@ -64,6 +64,37 @@ def test_calibrate_recovers_alternative_table(alt_idx):
     assert res.runner_up_score - res.best_score >= 0.0025
 
 
+def test_full_enumeration_and_deep_candidate_recovery():
+    """The candidate set is the FULL enumeration (10^2-10^3 rows, not a
+    truncated sample), and calibration recovers a candidate DEEP in it —
+    far outside any top-12 subset (r5 review finding) — via the
+    parity-check proxy + exact top-K scoring, under noise."""
+    cands = candidate_profiles(*KEY)
+    assert len(cands) >= 1000  # UEP_AMBIGUITY.json counts 3432 for 128/2
+    deep = len(cands) * 3 // 4
+    alt = cands[deep]
+    res = calibrate(_logical_soft(alt, seed=7, snr_amp=0.45), *KEY)
+    assert res.locked and res.swapped
+    assert (res.chosen.l, res.chosen.pi, res.chosen.padding_bits) == \
+        (alt.l, alt.pi, alt.padding_bits)
+
+
+def test_parity_proxy_ranks_true_alignment():
+    """The stage-1 proxy (mother-code parity checks, no Viterbi) gives the
+    true table a near-zero violation rate and ranks it first among all
+    enumerated candidates; misaligned tables sit near 0.5."""
+    from tpudab.fec.uep_calibrate import _proxy_scores
+
+    cands = candidate_profiles(*KEY)
+    true_idx = 500
+    soft = _logical_soft(cands[true_idx], seed=500)
+    recv = (np.asarray(soft, np.float32) < 0).astype(np.uint8)
+    proxy = _proxy_scores(recv, cands)
+    assert int(np.argmin(proxy)) == true_idx
+    assert proxy[true_idx] < 0.02
+    assert np.median(proxy) > 0.3  # misaligned candidates ~50% violations
+
+
 def test_ensemble_with_alternative_table_decodes_cleanly(monkeypatch):
     """End to end at frame-bits level: the synthesizer transmits subchannel
     payloads under an ALTERNATIVE region table (as a real broadcast with a
@@ -155,6 +186,63 @@ def test_device_step_waits_for_calibration_and_matches_host(monkeypatch):
     assert m >= 20
     np.testing.assert_array_equal(got[:m], want[:m])
     np.testing.assert_array_equal(want[:m], payload[:m])
+
+
+def test_late_discovered_s_row_demotes_and_rebuilds_device_step():
+    """A subchannel with an 's' UEP row discovered AFTER the jitted step
+    was built must not deadlock (r5 review finding): the driver demotes to
+    the host path (handing the device deinterleaver carries back), the
+    calibration runs there, and the step rebuilds with every subchannel."""
+    from tpudab.models.pipeline import OfflinePipeline
+    from tpudab.models.receiver import Receiver
+    from tpudab.synth import (EnsembleSpec, ServiceSpec, SubchannelSpec,
+                              EnsembleSynthesizer, ASCTY_DAB_PLUS)
+    from tpudab.synth.modulator import modulate_frame_bits
+
+    def capture(with_b):
+        services = [ServiceSpec(0xB300, "EEP A", [(0, ASCTY_DAB_PLUS, 1)])]
+        subchannels = [SubchannelSpec(1, start_cu=0, size_cu=24,
+                                      protection=("eep", 3, 0))]
+        if with_b:
+            services.append(ServiceSpec(0xB301, "UEP B", [(0, 0, 6)]))
+            subchannels.append(SubchannelSpec(6, start_cu=24, size_cu=116,
+                                              protection=("uep",) + KEY))
+        spec = EnsembleSpec(ensemble_id=0xD155, label="Late Mux",
+                            services=services, subchannels=subchannels)
+        synth = EnsembleSynthesizer(spec, seed=40)
+        rng = np.random.default_rng(41)
+        pay = {sid: rng.integers(0, 256, (64, nb)).astype(np.uint8)
+               for sid, nb in ([(1, 32 * 3)] + ([(6, KEY[0] * 3)]
+                                                if with_b else []))}
+        for sid in pay:
+            synth.payload_fn[sid] = (lambda s: lambda m: pay[s][m].tobytes())(sid)
+        n_frames = 16 if with_b else 8
+        iq = np.concatenate([modulate_frame_bits(synth.frame_bits(i))
+                             for i in range(n_frames)]).astype(np.complex64)
+        return iq, pay
+
+    iq_a, _ = capture(False)
+    iq_ab, pay = capture(True)
+
+    pipe = OfflinePipeline(batch_frames=4, use_device_step=True,
+                           receiver=Receiver(decode_audio=False))
+    pipe.run(iq_a)
+    assert pipe._driver.step is not None                    # built with A only
+    assert {c.subch_id for c in pipe._driver.step.subchannels} == {1}
+
+    acc = pipe.run(iq_ab)                                   # B discovered late
+    # the step was rebuilt and now covers BOTH subchannels
+    assert pipe._driver.step is not None
+    assert {c.subch_id for c in pipe._driver.step.subchannels} == {1, 6}
+    cal = pipe.receiver.uep_calibrations[6]
+    assert cal.locked and not cal.swapped
+    # B's decoder first saw the stream at absolute CIF 16 (it was created
+    # after the device step processed batch 1), so its first complete
+    # logical frame is absolute frame 16
+    got = np.concatenate([o.raw_frames for o in acc[6]
+                          if o.raw_frames is not None and len(o.raw_frames)])
+    assert got.shape[0] >= 8
+    np.testing.assert_array_equal(got, pay[6][16 : 16 + got.shape[0]])
 
 
 def test_short_capture_flushes_held_frames():

@@ -17,6 +17,10 @@ from tpudab.constants.tables import programme_type_str, language_str
 
 import numpy as np
 
+# rendered-slide cache: {(transport_id, n_bytes, mode): art} — holds only
+# the currently displayed slide (see render_text)
+_slide_art_cache: dict = {}
+
 
 def constellation_snr_db(re, im) -> float:
     """SNR estimate from DQPSK constellation phase spread: z^4 folds the
@@ -178,10 +182,20 @@ def render_text(receiver, stats=None, audio=None, width: int = 78,
     if slides and controls is not None and getattr(controls, "show_slides",
                                                    False):
         # inline image of the most recent slide ('i' toggles; kitty/sixel/
-        # half-block per terminal — reference render_radio_block.cpp:309-384)
-        from tpudab.host.termimage import render_slide
+        # half-block per terminal — reference render_radio_block.cpp:309-384).
+        # The rendered art is cached per (transport_id, size, mode): the
+        # sixel/half-block encoders are Python loops and kitty retransmits
+        # the whole PNG — re-rendering an unchanged slide at the dashboard's
+        # 4 Hz would compete with the decode for CPU (the reference's LRU
+        # texture cache analog, render_radio_block.h:23-27).
+        from tpudab.host.termimage import detect_mode, render_slide
         s = slides[-1]
-        art = render_slide(bytes(s.data), s.image_format or "png")
+        key = (s.transport_id, len(s.data), detect_mode())
+        art = _slide_art_cache.get(key)
+        if art is None:
+            art = render_slide(bytes(s.data), s.image_format or "png")
+            _slide_art_cache.clear()     # keep exactly the current slide
+            _slide_art_cache[key] = art
         if art:
             lines.append(f" slide: {s.name or s.transport_id}")
             lines.append(art)

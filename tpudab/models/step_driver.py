@@ -54,16 +54,32 @@ class StepDriver:
 
         if not receiver.subch_decoders:
             return
-        if any(getattr(d, "_cal_pending", False)
-               for d in receiver.subch_decoders.values()):
-            # a budget-solved UEP row is still self-calibrating on the host
-            # path (fec/uep_calibrate.py); building now would bake the
-            # unverified table into the jitted step. Small batches may need
-            # an extra batch or two to accumulate the calibration frames.
-            return
         current = set(receiver.subch_decoders.keys())
         if self.step is not None and \
                 current == {c.subch_id for c in self.step.subchannels}:
+            return
+        if any(getattr(d, "_cal_pending", False)
+               for d in receiver.subch_decoders.values()):
+            # A budget-solved UEP row is still self-calibrating
+            # (fec/uep_calibrate.py); building now would bake the
+            # unverified table into the jitted step. If a step is ALREADY
+            # running (the pending subchannel was discovered after an
+            # earlier build), demote to the host path — otherwise the
+            # host decoder that runs the calibration never executes and
+            # the new subchannel is never decoded (r5 review finding).
+            # The device deinterleaver carries hand back to the python
+            # decoders so the logical-frame sequence stays seamless; the
+            # step rebuilds with every subchannel once the table locks.
+            if self.step is not None:
+                warmup = TIME_INTERLEAVE_DEPTH - 1
+                for subch_id, dec in receiver.subch_decoders.items():
+                    key = f"deint_{subch_id}"
+                    if self.carry is not None and key in self.carry:
+                        dec._history = self.carry[key]
+                        dec._n_seen = self.first_logical[subch_id] + warmup
+                self.step = None
+                self.carry = None
+                self.first_logical = {}
             return
         configs = tuple(d.config for d in receiver.subch_decoders.values())
         old_carry = self.carry or {}

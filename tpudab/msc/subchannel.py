@@ -86,6 +86,20 @@ class SubchannelDecoder:
                              and needs_calibration(*config.uep_key))
         self._cal_buf: List[np.ndarray] = []
 
+    def _run_calibration(self, frames: np.ndarray) -> None:
+        """Calibrate on the given complete logical frames and swap
+        self.config to the winning table (shared by the in-stream lock and
+        the end-of-stream flush)."""
+        from tpudab.fec import uep_calibrate as uc
+
+        self._cal_pending = False
+        res = uc.calibrate(frames, *self.config.uep_key)
+        self.calibration = res
+        if res.swapped:
+            self.config = dataclasses.replace(
+                self.config, profile=res.chosen.to_profile(),
+                padding_bits=res.chosen.padding_bits)
+
     def _maybe_calibrate(self, logical, c: int) -> bool:
         """Accumulate complete logical frames and run the UEP table
         calibration, swapping self.config to the winning table. While
@@ -102,14 +116,8 @@ class SubchannelDecoder:
         have = sum(f.shape[0] for f in self._cal_buf)
         if have < uc.CALIBRATION_FRAMES:
             return False  # wait for more complete frames, holding output
-        frames = np.concatenate(self._cal_buf)
-        self._cal_pending = False
-        res = uc.calibrate(frames[: uc.CALIBRATION_FRAMES], *self.config.uep_key)
-        self.calibration = res
-        if res.swapped:
-            self.config = dataclasses.replace(
-                self.config, profile=res.chosen.to_profile(),
-                padding_bits=res.chosen.padding_bits)
+        self._run_calibration(
+            np.concatenate(self._cal_buf)[: uc.CALIBRATION_FRAMES])
         return True
 
     def _decode(self, logical, c: int):
@@ -162,17 +170,9 @@ class SubchannelDecoder:
                  np.zeros(0, bool), np.zeros(0, np.int64))
         if not (self._cal_pending and self._cal_buf):
             return empty
-        from tpudab.fec import uep_calibrate as uc
-
         frames = np.concatenate(self._cal_buf)
-        self._cal_pending = False
         self._cal_buf = []
-        res = uc.calibrate(frames, *self.config.uep_key)
-        self.calibration = res
-        if res.swapped:
-            self.config = dataclasses.replace(
-                self.config, profile=res.chosen.to_profile(),
-                padding_bits=res.chosen.padding_bits)
+        self._run_calibration(frames)
         out = self._decode(frames, frames.shape[0])
         idx = np.arange(frames.shape[0])
         return out, np.ones(frames.shape[0], bool), idx

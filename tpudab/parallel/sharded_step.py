@@ -169,7 +169,6 @@ class ShardedReceiveStep:
 
         # MSC: the halo already arrived via the single batched ppermute above
         c_l = t_l * dab.nb_cifs
-        soft3 = soft.reshape(e_l * t_l, -1)
 
         def subch_cifs(cfg):
             """Per-subchannel CIF slice straight from the flat soft (one
@@ -178,7 +177,7 @@ class ShardedReceiveStep:
             lane-splitting relayout at production batch (models/step.py)."""
             lo = cfg.start_cu * CU_BITS
             parts = [lax.slice_in_dim(
-                soft3, dab.nb_fic_bits + kk * CIF_BITS + lo,
+                soft, dab.nb_fic_bits + kk * CIF_BITS + lo,
                 dab.nb_fic_bits + kk * CIF_BITS + lo + cfg.slice_bits,
                 axis=-1) for kk in range(dab.nb_cifs)]
             return jnp.stack(parts, axis=-2).reshape(e_l, c_l, cfg.slice_bits)
