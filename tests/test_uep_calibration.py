@@ -79,6 +79,33 @@ def test_full_enumeration_and_deep_candidate_recovery():
         (alt.l, alt.pi, alt.padding_bits)
 
 
+def test_deep_candidate_recovery_other_rows():
+    """Row-specific structure check: 224/PL2 (the largest candidate set,
+    ~7.7k, all regions PI>=10 so fully proxy-checkable) recovers a deep
+    alternative."""
+    key = (224, 2)
+    cands = candidate_profiles(*key)
+    assert len(cands) >= 5000
+    alt = cands[len(cands) * 2 // 3]
+    res = calibrate(_logical_soft(alt, seed=9, snr_amp=0.3), *key)
+    assert res.locked and res.swapped
+    assert (res.chosen.l, res.chosen.pi) == (alt.l, alt.pi)
+
+
+def test_weak_region_row_stays_honest():
+    """320/PL5 has PI (8,5,2,6): only region 1 is parity-checkable, so the
+    CPU proxy is partially blind. The decisive property: calibration must
+    never LOCK a wrong table — on a shipped-table broadcast it either
+    locks the shipped row or honestly reports ambiguous (keeping
+    shipped)."""
+    key = (320, 5)
+    shipped = get_uep_profile(*key)
+    res = calibrate(_logical_soft(shipped, seed=10), *key)
+    assert (res.chosen.l, res.chosen.pi, res.chosen.padding_bits) == \
+        (shipped.l, shipped.pi, shipped.padding_bits)
+    assert not res.swapped
+
+
 def test_parity_proxy_ranks_true_alignment():
     """The stage-1 proxy (mother-code parity checks, no Viterbi) gives the
     true table a near-zero violation rate and ranks it first among all

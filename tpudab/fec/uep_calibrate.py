@@ -10,13 +10,16 @@ ensemble, from the broadcast itself (VERDICT r4 'Next round' item 2):
 On the first complete logical frames of a subchannel using an 's' row, the
 decoder scores the shipped table plus the FULL enumerated candidate set
 (the same 10^2-10^3 budget+structure-exact alternatives per row that
-UEP_AMBIGUITY.json quantifies) with a two-stage re-encode oracle: a cheap
-indexing proxy ranks every candidate against a reference re-encoded mother
-stream, then the top candidates get the exact depuncture -> Viterbi ->
-convolutional re-encode -> mismatch scoring in one batched Viterbi call. The TRUE region table yields a mismatch rate equal to the
-channel BER (~0 above the FIC-lock SNR); any misaligned region boundary
-shows up as a band of ~50% mismatch, so the margin between the best and
-second-best candidate is decisive. The winner is locked for the life of
+UEP_AMBIGUITY.json quantifies, deduplicated by effective puncture mask)
+with a re-encode oracle: depuncture -> Viterbi -> convolutional re-encode
+-> mismatch vs the received hard decisions. On TPU every candidate is
+scored exactly in one batched Pallas Viterbi call; on CPU a no-Viterbi
+prefilter first ranks all candidates via the mother code's parity
+structure (see _proxy_scores) and the top PREFILTER_K get exact scoring.
+The TRUE region table yields a mismatch rate equal to the channel BER
+(~0 above the FIC-lock SNR); any misaligned region boundary shows up as
+a band of ~50% mismatch, so the margin between the best and second-best
+candidate is decisive. The winner is locked for the life of
 the tune (reference analog: the protection descriptors the UI surfaces via
 /root/reference/src/render_formatters.cpp:9-25 are trusted table lookups;
 here the table itself is verified against the signal).
@@ -113,8 +116,24 @@ def candidate_profiles(bitrate_kbps: int, protection_level: int,
                         if l0[0] + d > 0})
     pi_opts = [range(pi_rng.get((pl, i), (1, 24))[0],
                      pi_rng.get((pl, i), (1, 24))[1] + 1) for i in range(4)]
+    def mask_key(l, pi, pad):
+        """Candidates are deduplicated by their EFFECTIVE puncture mask:
+        adjacent regions with equal PI produce the same physical mask as
+        any other split of the same span, so (L,PI) tuples that merge to
+        the same run sequence are one candidate (they decode identically;
+        keeping them separate made exact ties trip the honesty fallback)."""
+        runs = []
+        for n, p in zip(l, pi):
+            if n == 0:
+                continue
+            if runs and runs[-1][1] == p:
+                runs[-1] = (runs[-1][0] + n, p)
+            else:
+                runs.append((n, p))
+        return (tuple(runs), pad)
+
     out = [shipped]
-    seen = {(shipped.l, shipped.pi, shipped.padding_bits)}
+    seen = {mask_key(shipped.l, shipped.pi, shipped.padding_bits)}
     for l4 in l4_set:
         for l1 in l1_opts:
             rest = blocks - l1 - l4
@@ -144,26 +163,27 @@ def candidate_profiles(bitrate_kbps: int, protection_level: int,
                                     continue
                                 if l4 == 0:
                                     if r3 == 0:
-                                        key = ((l1, l2, l3, 0),
-                                               (p1, p2, p3, 0), pad)
+                                        key = mask_key((l1, l2, l3, 0),
+                                                       (p1, p2, p3, 0), pad)
                                         if key not in seen:
                                             seen.add(key)
                                             out.append(UEPProfile(
-                                                br, pl, size, key[0],
-                                                key[1], pad))
+                                                br, pl, size,
+                                                (l1, l2, l3, 0),
+                                                (p1, p2, p3, 0), pad))
                                     continue
                                 q, rem = divmod(r3, l4 * 4)
                                 p4 = q - 8
                                 lo4, hi4 = pi_rng.get((pl, 3), (1, 24))
                                 if rem == 0 and lo4 <= p4 <= hi4 \
                                         and p3 <= p4 <= p1:
-                                    key = ((l1, l2, l3, l4),
-                                           (p1, p2, p3, p4), pad)
+                                    key = mask_key((l1, l2, l3, l4),
+                                                   (p1, p2, p3, p4), pad)
                                     if key not in seen:
                                         seen.add(key)
                                         out.append(UEPProfile(
-                                            br, pl, size, key[0], key[1],
-                                            pad))
+                                            br, pl, size, (l1, l2, l3, l4),
+                                            (p1, p2, p3, p4), pad))
     return tuple(p for p in out if p.consistent())
 
 
