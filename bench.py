@@ -63,7 +63,10 @@ def main():
 
     dev = jax.devices()[0]
     n_frames = int(os.environ.get("TPUDAB_BENCH_FRAMES", "16"))
-    n_ens = int(os.environ.get("TPUDAB_BENCH_ENSEMBLES", "16"))
+    # 32 simultaneous ensembles per chip: +2% over 16 at the same
+    # 1.5 s batch latency (dispatch/tail amortization; r5 sweep: 16->1442x,
+    # 32->1470x, 32ens x 32frames ->1492x but doubles latency)
+    n_ens = int(os.environ.get("TPUDAB_BENCH_ENSEMBLES", "32"))
 
     subch = _bench_subchannels()
     step = ReceiveStep(mode=1, subchannels=subch, n_ensembles=n_ens)
