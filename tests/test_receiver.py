@@ -146,6 +146,54 @@ def test_device_step_pipeline_matches_python_path(ensemble_capture):
     assert flat1[:mm] == flat2[:mm]
 
 
+def test_heterogeneous_eep_profiles_end_to_end():
+    """Four subchannels with DIFFERENT protection profiles at once — EEP
+    1-A, 4-A (set A extremes) and 2-B, 3-B (set B, never exercised end to
+    end before r5) — decode bit-exactly on the host path AND the device
+    step, whose profile-grouping runs four separate Viterbi groups here
+    (every other e2e test uses a single profile = one group)."""
+    from tpudab.models.pipeline import decode_iq
+    from tpudab.models.receiver import Receiver
+    from tpudab.synth import (EnsembleSpec, ServiceSpec, SubchannelSpec,
+                              EnsembleSynthesizer)
+    from tpudab.synth.modulator import modulate_frame_bits
+
+    layout = [  # (subch_id, start, size, protection, bitrate_kbps)
+        (1, 0, 12, ("eep", 1, 0), 8),     # 1-A, n=1
+        (2, 12, 28, ("eep", 4, 0), 56),   # 4-A, n=7
+        (3, 40, 21, ("eep", 2, 1), 32),   # 2-B, n=1
+        (4, 61, 54, ("eep", 3, 1), 96),   # 3-B, n=3
+    ]
+    spec = EnsembleSpec(
+        ensemble_id=0x4EEB, label="Hetero Mux",
+        services=[ServiceSpec(0xA400 + sid, f"Svc {sid}", [(0, 0, sid)])
+                  for sid, *_ in layout],
+        subchannels=[SubchannelSpec(sid, start_cu=st, size_cu=sz,
+                                    protection=prot)
+                     for sid, st, sz, prot, _ in layout])
+    synth = EnsembleSynthesizer(spec, seed=60)
+    rng = np.random.default_rng(61)
+    pay = {sid: rng.integers(0, 256, (52, br * 3)).astype(np.uint8)
+           for sid, *_, br in layout}
+    for sid in pay:
+        synth.payload_fn[sid] = (lambda s: lambda m: pay[s][m].tobytes())(sid)
+    iq = np.concatenate([modulate_frame_bits(synth.frame_bits(i))
+                         for i in range(10)]).astype(np.complex64)
+
+    rx_h, acc_h, _ = decode_iq(iq, batch_frames=5,
+                               receiver=Receiver(decode_audio=False))
+    rx_d, acc_d, _ = decode_iq(iq, batch_frames=5, use_device_step=True,
+                               receiver=Receiver(decode_audio=False))
+    for sid, *_ in layout:
+        for acc in (acc_h, acc_d):
+            got = np.concatenate([o.raw_frames for o in acc[sid]
+                                  if o.raw_frames is not None
+                                  and len(o.raw_frames)])
+            assert got.shape[0] >= 20, (sid, got.shape)
+            np.testing.assert_array_equal(got, pay[sid][: got.shape[0]],
+                                          err_msg=f"subch {sid}")
+
+
 def test_dropout_resync(ensemble_capture):
     """A mid-capture blackout must trigger reacquisition and decoding must
     resume afterwards (reference failure-recovery analog: desync counter +
