@@ -31,7 +31,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tpudab.constants.puncture import _UEP_ROWS  # noqa: E402
-from tpudab.fec.uep_calibrate import candidate_profiles  # noqa: E402
+from tpudab.fec.uep_calibrate import (candidate_profiles,  # noqa: E402
+                                      shipped_in_prior)
 
 
 def main():
@@ -49,10 +50,12 @@ def main():
         cands = candidate_profiles(br, pl, slack=args.slack)
         shipped = cands[0]
         alts = cands[1:]
-        # "shipped is a candidate" = it satisfies the same budget+structure
-        # constraints as the enumeration (it is prepended unconditionally,
-        # so re-check it against the identities the alternatives passed)
-        shipped_ok = shipped.consistent()
+        # "shipped is a candidate" = it satisfies the full structural
+        # prior the enumeration uses (it is prepended unconditionally, so
+        # this membership check carries the diagnostic signal: a shipped
+        # row OUTSIDE the induced PI ranges — e.g. 224/PL3+PL4 under
+        # --slack 0 — is exactly the suspicion worth surfacing)
+        shipped_ok = shipped_in_prior(br, pl, args.slack)
         report.append({
             "bitrate_kbps": br, "protection_level": pl, "size_cu": size,
             "shipped": {"L": list(l0), "PI": list(pi0), "padding": pad0},

@@ -105,6 +105,10 @@ def candidate_profiles(bitrate_kbps: int, protection_level: int,
     from tpudab.constants.puncture import _UEP_ROWS
 
     shipped = get_uep_profile(bitrate_kbps, protection_level)
+    # calibrate() relies on index 0 BEING the shipped row (fallback +
+    # swapped accounting); the final consistent() filter must never be
+    # able to silently drop it (r5 review finding)
+    assert shipped.consistent(), (bitrate_kbps, protection_level)
     row = next(r for r in _UEP_ROWS
                if r[0] == bitrate_kbps and r[1] == protection_level)
     br, pl, size, l0, pi0, pad0, conf = row
@@ -255,6 +259,33 @@ def _viol_table(recv_hard: np.ndarray, pi: int):
     return v.mean(axis=(0, 2))                          # (O,)
 
 
+def shipped_in_prior(bitrate_kbps: int, protection_level: int,
+                     slack: int = 1) -> bool:
+    """Does the SHIPPED row itself satisfy the structural prior the
+    enumeration uses? (It is prepended unconditionally, so this is the
+    membership diagnostic tools/uep_ambiguity.py reports — e.g. under the
+    tightest prior the 224/PL3 and 224/PL4 recollections fall outside the
+    induced PI ranges, which is exactly the suspicion worth surfacing.)"""
+    shipped = get_uep_profile(bitrate_kbps, protection_level)
+    pi_rng, l1_fam, l4_set, pads, fam = _induced_priors(slack)
+    l, pi, pad = shipped.l, shipped.pi, shipped.padding_bits
+    if pad not in pads or l[3] not in l4_set:
+        return False
+    for i in range(4):
+        if l[i] == 0:
+            continue
+        lo, hi = pi_rng.get((protection_level, i), (1, 24))
+        if not lo <= pi[i] <= hi:
+            return False
+    if l[1] and pi[1] > pi[0]:
+        return False
+    if l[2] and pi[2] > pi[1]:
+        return False
+    if l[3] and not (pi[2] <= pi[3] <= pi[0]):
+        return False
+    return shipped.consistent()
+
+
 def _proxy_scores(recv_hard: np.ndarray, cands) -> np.ndarray:
     """Mean parity-violation rate over each candidate's (offset, PI)
     block alignment; candidates whose checkable regions align with the
@@ -350,16 +381,16 @@ def calibrate(logical_soft: np.ndarray, bitrate_kbps: int,
     logical frames and pick the winner. Falls back to the shipped row
     (locked=False) if the margin is not decisive.
 
-    On TPU backends EVERY enumerated candidate is scored exactly (one
-    batched Pallas Viterbi call over n_cand * F codewords, tens of ms).
-    On CPU (tests / host-only use) the parity-check proxy ranks all
-    candidates first and the shipped row plus the PREFILTER_K proxy-best
-    get the exact scoring — see the proxy's docstring for its coverage
+    The parity-check proxy (pure NumPy, backend-independent) ranks every
+    candidate in ~0.3 s; the shipped row plus the PREFILTER_K proxy-best
+    get the exact scoring. Exact-scoring ALL candidates is not viable
+    even on TPU — the per-candidate host-side depuncture/re-encode alone
+    measures ~1 ms each (~5 s for the largest rows) plus a multi-GB
+    device stack, a live stall the hold would pass straight to the audio
+    start (r5 review finding). See the proxy's docstring for its coverage
     limits on weak (PI < 8) regions."""
-    from tpudab.ops.viterbi_pallas import _use_pallas
-
     all_cands = candidate_profiles(bitrate_kbps, protection_level)
-    if len(all_cands) > PREFILTER_K + 1 and not _use_pallas():
+    if len(all_cands) > PREFILTER_K + 1:
         soft = np.asarray(logical_soft, dtype=np.float32)
         recv_hard = (soft < 0).astype(np.uint8)
         proxy = _proxy_scores(recv_hard, all_cands)

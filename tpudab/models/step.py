@@ -25,7 +25,7 @@ from tpudab.constants.dab_params import get_dab_params, CIF_BITS, CU_BITS
 from tpudab.constants.puncture import FIC_PROFILE, FIC_PROFILE_MODE3
 from tpudab.fec.prbs import prbs_bits
 from tpudab.fec.depuncture import depuncture_t
-from tpudab.msc.subchannel import SubchannelConfig
+from tpudab.msc.subchannel import SubchannelConfig, subch_cif_slices
 from tpudab.msc.interleave import deinterleave_batch, TIME_INTERLEAVE_DEPTH
 from tpudab.ofdm.demod import demod_frames_split
 from tpudab.ops.viterbi_pallas import viterbi_decode_bytes_best_t
@@ -138,19 +138,9 @@ class ReceiveStep:
         c = f * dab.nb_cifs
 
         def subch_cifs(cfg):
-            """(.., c, slice_bits) CIF slice for one subchannel, taken
-            DIRECTLY from the flat soft: one contiguous column window per
-            CIF position, stacked. Materializing the full (E, c, CIF_BITS)
-            array first — soft[:, fic:].reshape(e, c, CIF_BITS) — splits
-            the lane dim into rows, a measured 2.5 ms bf16 relayout of the
-            whole MSC band at production batch on v5e; the per-subchannel
-            windows touch only the occupied CUs and stay lane-resident."""
-            lo = cfg.start_cu * CU_BITS
-            parts = [jax.lax.slice_in_dim(
-                soft, dab.nb_fic_bits + k * CIF_BITS + lo,
-                dab.nb_fic_bits + k * CIF_BITS + lo + cfg.slice_bits,
-                axis=-1) for k in range(dab.nb_cifs)]
-            st = jnp.stack(parts, axis=-2)      # ([E*]F, nb_cifs, slice)
+            """Per-subchannel CIF slices straight from the flat soft (see
+            msc.subchannel.subch_cif_slices); row-dim merges are free."""
+            st = subch_cif_slices(soft, cfg, dab.nb_fic_bits, dab.nb_cifs)
             return st.reshape((e, c, cfg.slice_bits) if e > 1
                               else (c, cfg.slice_bits))
 

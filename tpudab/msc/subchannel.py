@@ -16,9 +16,10 @@ import dataclasses
 from typing import Dict, List, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
-from tpudab.constants.dab_params import CU_BITS
+from tpudab.constants.dab_params import CIF_BITS, CU_BITS
 from tpudab.constants.puncture import (
     PunctureProfile, eep_profile, get_uep_profile, UEPProfile,
 )
@@ -62,6 +63,24 @@ class SubchannelConfig:
                        uep_key=(uep.bitrate_kbps, uep.protection_level))
         profile = eep_profile(sub.size_cu, sub.eep_level, sub.eep_option)
         return cls(sub.subch_id, sub.start_cu, sub.size_cu, profile, 0)
+
+
+def subch_cif_slices(soft, cfg: SubchannelConfig, nb_fic_bits: int,
+                     nb_cifs: int):
+    """(rows, nb_frame_bits) flat soft -> (rows, nb_cifs, slice_bits) CIF
+    slices for one subchannel, taken DIRECTLY from the flat array: one
+    contiguous, lane-resident column window per CIF position, stacked.
+    Materializing the full (.., c, CIF_BITS) MSC band first —
+    soft[:, fic:].reshape(.., c, CIF_BITS) — splits the lane dim into
+    rows, a measured 2.5 ms bf16 relayout of the whole band at production
+    batch on v5e; these windows touch only the occupied CUs. Shared by
+    ReceiveStep and ShardedReceiveStep (r5)."""
+    lo = cfg.start_cu * CU_BITS
+    parts = [jax.lax.slice_in_dim(
+        soft, nb_fic_bits + k * CIF_BITS + lo,
+        nb_fic_bits + k * CIF_BITS + lo + cfg.slice_bits,
+        axis=-1) for k in range(nb_cifs)]
+    return jnp.stack(parts, axis=-2)
 
 
 class SubchannelDecoder:

@@ -33,7 +33,7 @@ from tpudab.constants.puncture import FIC_PROFILE, FIC_PROFILE_MODE3
 from tpudab.fec.depuncture import depuncture
 from tpudab.fec.prbs import prbs_bits
 from tpudab.msc.interleave import deinterleave_batch, TIME_INTERLEAVE_DEPTH
-from tpudab.msc.subchannel import SubchannelConfig
+from tpudab.msc.subchannel import SubchannelConfig, subch_cif_slices
 from tpudab.ofdm.demod import demod_frames_split
 from tpudab.ops.viterbi_pallas import viterbi_decode_bytes_best
 from tpudab.utils.bits import pack_bits
@@ -171,16 +171,11 @@ class ShardedReceiveStep:
         c_l = t_l * dab.nb_cifs
 
         def subch_cifs(cfg):
-            """Per-subchannel CIF slice straight from the flat soft (one
-            lane-resident column window per CIF position) — materializing
-            the full (E, c, CIF_BITS) band first is a measured 2.5 ms bf16
-            lane-splitting relayout at production batch (models/step.py)."""
-            lo = cfg.start_cu * CU_BITS
-            parts = [lax.slice_in_dim(
-                soft, dab.nb_fic_bits + kk * CIF_BITS + lo,
-                dab.nb_fic_bits + kk * CIF_BITS + lo + cfg.slice_bits,
-                axis=-1) for kk in range(dab.nb_cifs)]
-            return jnp.stack(parts, axis=-2).reshape(e_l, c_l, cfg.slice_bits)
+            """Per-subchannel CIF slices straight from the flat soft (see
+            msc.subchannel.subch_cif_slices)."""
+            return subch_cif_slices(
+                soft, cfg, dab.nb_fic_bits, dab.nb_cifs
+            ).reshape(e_l, c_l, cfg.slice_bits)
 
         subch_out, tails = {}, {}
         col = 0
