@@ -1,0 +1,98 @@
+"""Adversarial robustness: the host byte parsers must never raise on
+arbitrary input. A real broadcast at low SNR feeds the parsers CRC-passing
+garbage at the CRC's 2^-16 false-accept rate, and packet/MOT/PAD payloads
+are attacker-controlled in principle — the reference survives because its
+C++ parsers bounds-check; tpudab's must too (deterministic fuzz, no
+hypothesis dependency)."""
+
+import numpy as np
+import pytest
+
+
+def test_fig_parser_never_raises():
+    from tpudab.fic.fig_parser import parse_fib
+
+    rng = np.random.default_rng(1)
+    for _ in range(2000):
+        fib = rng.integers(0, 256, 32).astype(np.uint8)
+        events = parse_fib(fib)          # must not raise
+        assert isinstance(events, list)
+    # structured adversarial cases: every FIG type/length with random body
+    for fig_type in range(8):
+        for length in range(0, 30):
+            body = bytes([(fig_type << 5) | length]) + bytes(
+                rng.integers(0, 256, 31).astype(np.uint8).tolist())
+            parse_fib(np.frombuffer(body[:32], dtype=np.uint8))
+
+
+def test_superframe_parser_never_raises():
+    """Random superframes (firecode rejects) and adversarial ones with a
+    VALID firecode over garbage headers (AU starts out of range, reversed,
+    past the audio end) must parse without raising."""
+    from tpudab.audio.superframe import parse_superframe
+    from tpudab.fec.crc import firecode_compute
+
+    rng = np.random.default_rng(2)
+    for _ in range(200):
+        sf = rng.integers(0, 256, 480).astype(np.uint8)
+        parse_superframe(sf, 32, apply_rs=False)
+    for _ in range(500):
+        sf = rng.integers(0, 256, 480).astype(np.uint8)
+        fc = int(firecode_compute(sf[2:11]))     # forge a passing firecode
+        sf[0], sf[1] = fc >> 8, fc & 0xFF
+        res = parse_superframe(sf, 32, apply_rs=False)
+        assert res.firecode_ok
+        for au, ok in zip(res.access_units, res.au_crc_ok):
+            assert isinstance(ok, bool)
+
+
+def test_mot_and_packet_parsers_never_raise():
+    from tpudab.data.packet import PacketChannel
+    from tpudab.mot.slideshow import SlideshowManager
+
+    rng = np.random.default_rng(3)
+    mgr = SlideshowManager()
+    ch = PacketChannel(address=None, on_data_group=mgr.push_data_group)
+    # random packet-stream bytes through datagroup + MOT assembly
+    for _ in range(50):
+        ch.process_bytes(rng.integers(0, 256, 4096).astype(np.uint8).tobytes())
+    # random data groups straight into the MOT/slideshow chain
+    for _ in range(500):
+        n = int(rng.integers(1, 300))
+        mgr.push_data_group(rng.integers(0, 256, n).astype(np.uint8).tobytes())
+
+
+def test_xpad_processor_never_raises():
+    from tpudab.pad.xpad import XPADProcessor, extract_pad_from_dabplus_au
+
+    rng = np.random.default_rng(4)
+    proc = XPADProcessor(on_mot_data_group=lambda g: None)
+    for _ in range(1000):
+        fpad = bytes(rng.integers(0, 256, 2).astype(np.uint8).tolist())
+        xlen = int(rng.integers(0, 64))
+        xpad = bytes(rng.integers(0, 256, xlen).astype(np.uint8).tolist())
+        proc.push(fpad, xpad)
+    for _ in range(500):
+        n = int(rng.integers(0, 128))
+        au = bytes(rng.integers(0, 256, n).astype(np.uint8).tolist())
+        extract_pad_from_dabplus_au(au)  # must not raise
+
+
+def test_mp2_channel_never_raises_on_garbage():
+    from tpudab.audio.mp2 import DABChannel
+
+    rng = np.random.default_rng(5)
+    ch = DABChannel(128)
+    for _ in range(20):
+        frames = rng.integers(0, 256, (4, 128 * 3)).astype(np.uint8)
+        ch.process_frames(frames)
+
+
+def test_dabplus_channel_never_raises_on_garbage():
+    from tpudab.audio.superframe import DABPlusChannel
+
+    rng = np.random.default_rng(6)
+    ch = DABPlusChannel(32)
+    for _ in range(20):
+        frames = rng.integers(0, 256, (5, 96)).astype(np.uint8)
+        ch.process_frames(frames)

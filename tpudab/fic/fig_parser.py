@@ -349,8 +349,11 @@ _FIG0_HANDLERS = {
 def _decode_label(raw: bytes, charset: int) -> str:
     if charset == 0:  # EBU Latin — approximate with latin-1 for the ASCII block
         return raw.decode("latin-1", "replace").rstrip()
-    if charset == 6:
-        return raw.decode("ucs-2", "replace").rstrip()
+    if charset == 6:  # UCS-2, big-endian (TS 101 756 table 1)
+        # NOT "ucs-2": CPython has no codec of that name — a CRC-passing
+        # FIB carrying charset 6 raised LookupError and crashed the
+        # receiver (caught by tests/test_fuzz_parsers.py, r5)
+        return raw.decode("utf-16-be", "replace").rstrip().rstrip("\x00")
     if charset == 15:
         return raw.decode("utf-8", "replace").rstrip()
     return raw.decode("latin-1", "replace").rstrip()
