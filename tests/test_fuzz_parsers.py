@@ -25,6 +25,26 @@ def test_fig_parser_never_raises():
             parse_fib(np.frombuffer(body[:32], dtype=np.uint8))
 
 
+def test_database_updater_and_dashboard_survive_garbage_figs():
+    """Random CRC-passing FIBs flow parse_fib -> DatabaseUpdater ->
+    render_text: the whole observability chain must survive arbitrary
+    field values (huge ids, nonsense types, broken labels)."""
+    from tpudab.database.updater import DatabaseUpdater
+    from tpudab.fic.fig_parser import parse_fib
+    from tpudab.host.dashboard import render_text
+    from tpudab.models.receiver import Receiver
+
+    rng = np.random.default_rng(7)
+    rx = Receiver()
+    upd = rx.updater
+    for _ in range(1500):
+        fib = rng.integers(0, 256, 32).astype(np.uint8)
+        upd.process_events(parse_fib(fib))
+    assert upd.stats.total >= 0
+    text = render_text(rx)               # must not raise on any DB state
+    assert isinstance(text, str) and len(text) > 0
+
+
 def test_superframe_parser_never_raises():
     """Random superframes (firecode rejects) and adversarial ones with a
     VALID firecode over garbage headers (AU starts out of range, reversed,
