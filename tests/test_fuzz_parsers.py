@@ -98,6 +98,71 @@ def test_xpad_processor_never_raises():
         extract_pad_from_dabplus_au(au)  # must not raise
 
 
+def _one_shot_server(payload: bytes):
+    """Accept one connection, send payload, close. Returns (host, port)."""
+    import socket
+    import threading
+
+    srv = socket.create_server(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+
+    def run():
+        try:
+            conn, _ = srv.accept()
+            if payload:
+                conn.sendall(payload)
+            conn.close()
+        except OSError:
+            pass
+        finally:
+            srv.close()
+
+    threading.Thread(target=run, daemon=True).start()
+    return "127.0.0.1", port
+
+
+def test_tcp_source_rejects_bad_magic():
+    """A server that is not rtl_tcp (wrong magic) must fail cleanly with
+    ConnectionError — never hang or crash the native reader."""
+    import struct
+
+    from tpudab.host.rtl_tcp import TcpSource
+
+    host, port = _one_shot_server(b"HTTP" + struct.pack(">II", 0, 0))
+    with pytest.raises(ConnectionError):
+        TcpSource(host, port)
+
+
+def test_tcp_source_rejects_truncated_header():
+    from tpudab.host.rtl_tcp import TcpSource
+
+    host, port = _one_shot_server(b"RT")  # dies mid-header
+    with pytest.raises(ConnectionError):
+        TcpSource(host, port)
+
+
+def test_tcp_source_clean_eof_unblocks_reader():
+    """Valid header then immediate disconnect: the source must report done
+    and the ring read must return (no deadlock)."""
+    import struct
+    import time
+
+    from tpudab.host.rtl_tcp import TcpSource
+
+    host, port = _one_shot_server(
+        b"RTL0" + struct.pack(">II", 5, 29) + bytes(64))
+    src = TcpSource(host, port)
+    try:
+        deadline = time.time() + 10
+        while not src.done and time.time() < deadline:
+            time.sleep(0.02)
+        assert src.done, "reader never noticed the EOF"
+        x = src.ring.read_complex64(1 << 16)
+        assert x.shape[0] <= 32          # only the 64 header-follow bytes
+    finally:
+        src.close()
+
+
 def test_mp2_channel_never_raises_on_garbage():
     from tpudab.audio.mp2 import DABChannel
 
