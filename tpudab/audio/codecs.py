@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import ctypes
 import functools
-from typing import List, Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

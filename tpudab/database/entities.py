@@ -13,7 +13,7 @@ from typing import List, Optional
 
 from tpudab.constants.tables import country_str, language_str, programme_type_str
 from tpudab.constants.puncture import (
-    eep_bitrate_kbps, get_uep_index_table, uep_index_order, _UEP_TABLE,
+    eep_bitrate_kbps, get_uep_index_table, uep_index_order,
 )
 
 

@@ -35,7 +35,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import List, Optional, Tuple
 
 import numpy as np
 

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import sys
 import time
-from typing import Optional
 
 from tpudab.constants.tables import programme_type_str, language_str
 

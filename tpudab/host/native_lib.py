@@ -10,7 +10,6 @@ import ctypes
 import os
 import subprocess
 import threading
-from typing import Optional
 
 import numpy as np
 

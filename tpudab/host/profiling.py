@@ -11,7 +11,7 @@ from __future__ import annotations
 import collections
 import contextlib
 import time
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 
 @contextlib.contextmanager

@@ -21,7 +21,7 @@ import ctypes
 import socket
 import struct
 import threading
-from typing import Callable, Optional
+from typing import Callable
 
 import numpy as np
 

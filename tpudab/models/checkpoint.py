@@ -9,7 +9,6 @@ continuation.
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 from typing import Dict, Optional

@@ -19,7 +19,7 @@ from tpudab.constants.ofdm_params import get_ofdm_params
 from tpudab.ofdm.sync import SyncConfig
 from tpudab.ofdm.sync_device import acquire_host
 from tpudab.ofdm.demod import demod_frames_split
-from tpudab.models.receiver import Receiver, AudioChannelOutput
+from tpudab.models.receiver import Receiver
 from tpudab.models.step_driver import StepDriver
 
 

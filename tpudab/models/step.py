@@ -13,15 +13,14 @@ tpudab.parallel (sharded multi-chip variant).
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from tpudab.constants.ofdm_params import get_ofdm_params
-from tpudab.constants.dab_params import get_dab_params, CIF_BITS, CU_BITS
+from tpudab.constants.dab_params import get_dab_params
 from tpudab.constants.puncture import FIC_PROFILE, FIC_PROFILE_MODE3
 from tpudab.fec.prbs import prbs_bits
 from tpudab.fec.depuncture import depuncture_t

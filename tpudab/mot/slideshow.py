@@ -12,7 +12,7 @@ import dataclasses
 import threading
 from typing import Dict, List, Optional
 
-from tpudab.mot.mot import (MOTObject, MOTAssembler, ContentType,
+from tpudab.mot.mot import (MOTObject, MOTAssembler,
                             PARAM_CATEGORY_SLIDE_ID, PARAM_CATEGORY_TITLE,
                             PARAM_CLICK_THROUGH_URL, PARAM_ALT_LOCATION_URL,
                             PARAM_TRIGGER_TIME, PARAM_EXPIRE_TIME)

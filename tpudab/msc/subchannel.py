@@ -20,9 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from tpudab.constants.dab_params import CIF_BITS, CU_BITS
-from tpudab.constants.puncture import (
-    PunctureProfile, eep_profile, get_uep_profile, UEPProfile,
-)
+from tpudab.constants.puncture import PunctureProfile, eep_profile, UEPProfile
 from tpudab.database.entities import Subchannel
 from tpudab.fec.depuncture import depuncture
 from tpudab.fec.prbs import descramble_bits

@@ -19,7 +19,7 @@ seamless too (streaming resume, SURVEY.md sec 5.4).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax

@@ -8,7 +8,6 @@ fixture generating standard-shaped multiplexes with no recorded capture.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import numpy as np
 
