@@ -236,3 +236,36 @@ def test_dashboard_renders_fm_drm_linkage_and_detail():
     assert "LSN" in text
     # per-service detail for the selected channel
     assert "subchannel 4: start_cu=0 size_cu=24 prot=EEP 3-A" in text
+
+
+def test_cli_decode_bits_s8_roundtrip(tmp_path, capsys):
+    """decode-bits: a raw viterbi_bit_t (s8, positive = bit 1) soft-bit
+    file decodes without the OFDM front end — upstream basic_radio_app
+    parity (SURVEY.md sec 4)."""
+    from tpudab.host import cli
+    from tpudab.synth import (EnsembleSpec, ServiceSpec, SubchannelSpec,
+                              EnsembleSynthesizer, ASCTY_DAB_PLUS)
+
+    spec = EnsembleSpec(
+        ensemble_id=0xB175, label="Bits Mux",
+        services=[ServiceSpec(0xC950, "BitSvc", [(0, ASCTY_DAB_PLUS, 2)])],
+        subchannels=[SubchannelSpec(2, start_cu=0, size_cu=24,
+                                    protection=("eep", 3, 0))])
+    synth = EnsembleSynthesizer(spec, seed=70)
+    rng = np.random.default_rng(71)
+    payload = rng.integers(0, 256, (40, 32 * 3)).astype(np.uint8)
+    synth.payload_fn[2] = lambda m: payload[m].tobytes()
+
+    # upstream convention: viterbi_bit_t soft decision, positive = bit 1
+    bits = np.stack([synth.frame_bits(i) for i in range(6)])
+    s8 = np.where(bits > 0, 100, -100).astype(np.int8)
+    p = tmp_path / "frames.bits"
+    s8.tofile(p)
+
+    rc = cli.main(["decode-bits", str(p), "--bits-format", "s8",
+                   "--out-dir", str(tmp_path / "out")])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "Bits Mux" in text and "BitSvc" in text
+    assert "0 CRC errors" in text
+    assert "decoded 6 frames" in text

@@ -123,6 +123,55 @@ def cmd_decode(args) -> int:
     return 0
 
 
+def cmd_decode_bits(args) -> int:
+    """Decode a raw soft-bit stream (post-OFDM), skipping the front end.
+
+    Reference parity: upstream's basic_radio_app consumes files of
+    viterbi_bit_t soft decisions (one transmission frame =
+    nb_frame_bits values) without a demodulator (SURVEY.md sec 4 'file-
+    driven offline decode'). Formats: s8 (viterbi_bit_t: positive = bit
+    1, the upstream convention — negated into tpudab's sign convention),
+    u8 (hard bits 0/1), f32 (tpudab soft: positive = bit 0).
+    """
+    from tpudab.constants.dab_params import get_dab_params
+    from tpudab.models.receiver import Receiver
+
+    dab = get_dab_params(args.mode)
+    raw = np.fromfile(args.path, dtype={"s8": np.int8, "u8": np.uint8,
+                                        "f32": np.float32}[args.bits_format])
+    nf = raw.shape[0] // dab.nb_frame_bits
+    if nf == 0:
+        print(f"need at least {dab.nb_frame_bits} values per frame")
+        return 1
+    frames = raw[: nf * dab.nb_frame_bits].reshape(nf, dab.nb_frame_bits)
+    if args.bits_format == "s8":
+        soft = -frames.astype(np.float32)       # viterbi_bit_t: + = bit 1
+    elif args.bits_format == "u8":
+        soft = 1.0 - 2.0 * frames.astype(np.float32)
+    else:
+        soft = frames.astype(np.float32)
+
+    receiver = Receiver(args.mode)
+    acc: Dict[int, list] = {}
+    batch = max(1, args.batch_frames)
+    for lo in range(0, nf, batch):
+        outputs = receiver.process_frame_bits(soft[lo : lo + batch])
+        for sid, out in outputs.items():
+            acc.setdefault(sid, []).append(out)
+    for sid, out in receiver.finalize().items():
+        acc.setdefault(sid, []).append(out)
+
+    print(f"decoded {nf} frames of soft bits")
+    print(f"FIC: {receiver.stats['fibs']} FIBs, "
+          f"{receiver.stats['fib_crc_errors']} CRC errors")
+    _print_db(receiver)
+    if args.out_dir:
+        os.makedirs(args.out_dir, exist_ok=True)
+        _dump_audio(receiver, acc, args.out_dir)
+        _dump_slides_and_labels(receiver, args.out_dir)
+    return 0
+
+
 def _dump_slides_and_labels(receiver, out_dir: str) -> None:
     """Save decoded slideshow images and dynamic labels (texture-loader
     parity: the reference uploads PNG/JPEG slides to GL textures;
@@ -474,6 +523,18 @@ def main(argv=None) -> int:
                         "must be the remainder of the capture "
                         "(split at the reported next_pos)")
     d.set_defaults(fn=cmd_decode)
+
+    db = sub.add_parser("decode-bits",
+                        help="decode a raw soft-bit file (post-OFDM; "
+                             "basic_radio_app parity)")
+    db.add_argument("path")
+    db.add_argument("--bits-format", choices=("s8", "u8", "f32"),
+                    default="s8",
+                    help="s8 = upstream viterbi_bit_t (positive = bit 1)")
+    db.add_argument("--mode", type=int, default=1)
+    db.add_argument("--batch-frames", type=int, default=8)
+    db.add_argument("--out-dir")
+    db.set_defaults(fn=cmd_decode_bits)
 
     s = sub.add_parser("synth", help="synthesize a demo ensemble capture")
     s.add_argument("path")
