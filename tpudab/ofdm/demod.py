@@ -241,7 +241,7 @@ def demod_frames_split(frames_re, frames_im, freq_offset_hz, mode: int = 1,
         # while normalizing AFTER the (F, 75, 3072) -> (F, nb_frame_bits)
         # flatten costs a separate full read+write pass over an array the
         # flatten just relaid out — a measured 1.1 ms/step at production
-        # batch on v5e (tools: /tmp demod_out decomposition, r5).
+        # batch on v5e (tools/exp_demod_output.py, r5).
         norm = 0.5 * (jnp.mean(jnp.abs(dr).astype(jnp.float32),
                                axis=(1, 2), keepdims=True)
                       + jnp.mean(jnp.abs(di).astype(jnp.float32),
