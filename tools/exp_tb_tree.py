@@ -5,7 +5,36 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from tpudab.fec.conv import N_STATES
-from tpudab.ops.viterbi_pallas import _fwd_decisions, _tb_kernel_packed, _K
+from tpudab.ops.viterbi_pallas import _fwd_decisions, _K
+
+# The PRE-r5 production traceback (64-sublane masked reduction), embedded
+# here as the baseline: the select tree below replaced it in
+# tpudab/ops/viterbi_pallas.py, so importing _tb_kernel_packed would now
+# compare the tree against itself.
+def _tb_kernel_packed(dec_ref, out_ref, state_ref):
+    n_groups = dec_ref.shape[0]
+    b_t = dec_ref.shape[2]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        state_ref[:] = jnp.zeros((1, b_t), jnp.int32)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (N_STATES, b_t), 0)
+
+    def group(i, state):
+        gb = n_groups - 1 - i
+        dec_b = dec_ref[gb].astype(jnp.int32)
+        acc = jnp.zeros((1, b_t), jnp.int32)
+        for q in range(3, -1, -1):
+            dec_t = (dec_b >> (6 - 2 * q)) & 3
+            hit = row == state
+            j = jnp.sum(jnp.where(hit, dec_t, 0), axis=0, keepdims=True)
+            acc = acc | ((state & 3) << (6 - 2 * q))
+            state = (state >> _K) | (j << (6 - _K))
+        out_ref[gb] = acc.astype(jnp.uint8)
+        return state
+
+    state_ref[:] = lax.fori_loop(0, n_groups, group, state_ref[:])
 
 B, NBITS = 6144, 3456
 CHUNK = 32
