@@ -8,7 +8,7 @@ configuration coverage of the profile-grouping / slicing / carry machinery.
 import numpy as np
 import pytest
 
-from tpudab.constants.puncture import eep_profile, get_uep_profile
+from tpudab.constants.puncture import get_uep_profile
 
 
 def _random_layout(rng):

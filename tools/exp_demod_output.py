@@ -67,7 +67,6 @@ def v_norm_parts(re3, im3):  # normalize parts, output parts (no concat)
 
 def t(name, fn):
     o = fn(re, im)
-    leaves = jax.tree_util.tree_leaves(o)
     sync = lambda o: float(sum(l.astype(jnp.float32).sum() for l in jax.tree_util.tree_leaves(o)))
     sync(o)
     t0 = time.perf_counter()

@@ -353,7 +353,7 @@ def _decode_label(raw: bytes, charset: int) -> str:
         # NOT "ucs-2": CPython has no codec of that name — a CRC-passing
         # FIB carrying charset 6 raised LookupError and crashed the
         # receiver (caught by tests/test_fuzz_parsers.py, r5)
-        return raw.decode("utf-16-be", "replace").rstrip().rstrip("\x00")
+        return raw.decode("utf-16-be", "replace").rstrip("\x00 \ufffd\t\r\n")
     if charset == 15:
         return raw.decode("utf-8", "replace").rstrip()
     return raw.decode("latin-1", "replace").rstrip()
